@@ -1,0 +1,23 @@
+"""graph_slam_tpu — a TPU-native factor-graph SLAM framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+``rising-turtle/graph_slam`` (GTSAM/g2o RGB-D + IMU graph SLAM backend):
+
+- SE(3)/SO(3) Lie cores with GTSAM-compatible conventions (``core``)
+- struct-of-arrays factor arenas with static padded shapes (``graph``)
+- batch LM / GN and incremental optimization under ``jit`` (``graph.lm``)
+- Forster-style IMU preintegration as ``lax.scan`` (``imu``)
+- OrientedPlane3 landmarks, association and propagation (``planes``)
+- projection-factor bundle adjustment with Schur elimination (``vision``)
+- VRO-log / trajectory / PLY / g2o IO matching the reference formats (``io``)
+- offline pipeline drivers mirroring the reference mains (``pipelines``)
+- point-cloud mapping tools (``mapping``)
+- multi-device sharding for large graphs (``parallel``)
+"""
+
+__version__ = "0.1.0"
+
+from . import core
+from .core import se3, so3, Pose
+
+__all__ = ["core", "se3", "so3", "Pose", "__version__"]

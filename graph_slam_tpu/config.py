@@ -1,0 +1,87 @@
+"""Configuration system: dataclass configs replacing the reference's three
+tiers (ROS launch XML -> NodeHandle params -> CGTParams/CG2OParams
+singletons; see ``/root/reference/gtsam/gt_parameter.{h,cpp}`` and the 25
+launch files under ``/root/reference/launch/``).
+
+Defaults mirror ``gt_parameter.cpp:14-25``: lookback 7 nodes, small-motion
+gate 0.05 m / 3 deg, large-motion gate 2 m / 20 deg, optimize every 10
+keyframes. Camera intrinsics presets come from the hardcoded per-driver
+values (SR4000 at ``test_gt_graph.cpp:50``, RS435/RS200 at
+``main_rgbdslam_offline.cpp:61``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Optional
+
+__all__ = ["SlamParams", "CameraIntrinsics", "SR4000", "RS435", "RS200",
+           "load_params", "save_params"]
+
+
+@dataclasses.dataclass
+class SlamParams:
+    """CGTParams / CG2OParams equivalent (gt_parameter.h:17-40)."""
+
+    lookback_nodes: int = 7          # loop-closure candidate window
+    small_translation: float = 0.05  # m  — below both: drop keyframe
+    small_rotation: float = 3.0      # deg
+    large_translation: float = 2.0   # m  — above either: reject as outlier
+    large_rotation: float = 20.0     # deg
+    optimize_step: int = 10          # batch optimize cadence (keyframes)
+    output_dir: str = "./out"
+    record_vro_results: bool = False
+    vro_result_path: str = "vro_results.log"
+    initial_pitch_degree: float = 0.0
+    optimizer: str = "lm"            # "lm" | "gn"
+    incremental: bool = True         # ISAM2-equivalent incremental updates
+
+
+@dataclasses.dataclass
+class CameraIntrinsics:
+    """Pinhole (+ radial distortion) camera model parameters.
+
+    Plays the role of the external ``cam_model.h`` the reference links
+    against (CMakeLists.txt:22) with the constants its drivers hardcode.
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    width: int = 0
+    height: int = 0
+    depth_scale: float = 0.001
+
+    def as_tuple(self):
+        return (self.fx, self.fy, self.cx, self.cy, self.k1, self.k2,
+                self.p1, self.p2)
+
+
+# SR4000 ToF camera (test_gt_graph.cpp:50): 176x144
+SR4000 = CameraIntrinsics(fx=250.5773, fy=250.5773, cx=90.0, cy=70.0,
+                          k1=-0.8466, k2=0.5370, width=176, height=144,
+                          depth_scale=0.001)
+
+# RealSense R200 / RS435 (main_rgbdslam_offline.cpp:61): 640x480
+RS435 = CameraIntrinsics(fx=617.306, fy=617.714, cx=326.245, cy=239.974,
+                         width=640, height=480, depth_scale=0.001)
+RS200 = RS435
+
+
+def load_params(path: str) -> SlamParams:
+    """Launch-file replacement: JSON dict of overrides over defaults."""
+    with open(path) as f:
+        data = json.load(f)
+    return SlamParams(**data)
+
+
+def save_params(path: str, params: SlamParams) -> None:
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(params), f, indent=2)

@@ -1,0 +1,96 @@
+"""Synthetic pose-graph generators for benchmarks and stress tests.
+
+``make_sphere_graph`` produces a sphere2500-class problem (the large-scale
+stress config named in BASELINE.json): a smooth spiral trajectory over a
+sphere with odometry edges and short-range loop closures, ~4 edges/pose like
+the classic g2o sphere2500 dataset (2500 poses / 9799 edges). Ground truth
+is known, so benchmarks can verify convergence as well as speed.
+
+Pure numpy (fast host-side construction), frozen through ``GraphBuilder``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..graph import GraphBuilder
+
+__all__ = ["make_sphere_graph", "sphere_ground_truth"]
+
+
+def _so3_exp(w):
+    th = np.linalg.norm(w)
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-10:
+        return np.eye(3) + W
+    return np.eye(3) + np.sin(th) / th * W + (1 - np.cos(th)) / th**2 * (W @ W)
+
+
+def sphere_ground_truth(n_poses: int, radius: float = 10.0, turns: int = 25):
+    """Spiral over a sphere: positions + smooth headings."""
+    k = np.arange(n_poses)
+    phi = np.arccos(1 - 2 * (k + 0.5) / n_poses)      # polar angle 0..pi
+    lam = np.pi * turns * phi                          # azimuth spiral
+    pos = radius * np.stack(
+        [np.sin(phi) * np.cos(lam), np.sin(phi) * np.sin(lam), np.cos(phi)],
+        axis=1,
+    )
+    Rs = []
+    R = np.eye(3)
+    for i in range(n_poses):
+        if i + 1 < n_poses:
+            fwd = pos[i + 1] - pos[i]
+        else:
+            fwd = pos[i] - pos[i - 1]
+        fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+        up = pos[i] / (np.linalg.norm(pos[i]) + 1e-12)
+        left = np.cross(up, fwd)
+        left /= np.linalg.norm(left) + 1e-12
+        fwd2 = np.cross(left, up)
+        Rs.append(np.stack([fwd2, left, up], axis=1))
+    return np.stack(Rs), pos
+
+
+def make_sphere_graph(n_poses: int = 2500, edges_per_pose: float = 4.0,
+                      meas_noise: float = 0.02, init_noise: float = 0.1,
+                      seed: int = 0, dtype=jnp.float32, bucket: int = 256):
+    """Build (graph, values, gt) for the sphere stress benchmark."""
+    r = np.random.default_rng(seed)
+    Rs, ts = sphere_ground_truth(n_poses)
+
+    def between(i, j):
+        Rij = Rs[i].T @ Rs[j]
+        tij = Rs[i].T @ (ts[j] - ts[i])
+        return Rij, tij
+
+    b = GraphBuilder(dtype=dtype)
+    for i in range(n_poses):
+        if i == 0 or init_noise == 0:
+            b.add_pose((Rs[i], ts[i]))
+        else:
+            dR = _so3_exp(r.normal(size=3) * init_noise * 0.3)
+            b.add_pose((Rs[i] @ dR, ts[i] + r.normal(size=3) * init_noise))
+    b.add_prior_pose(0, (Rs[0], ts[0]), sigmas=np.full(6, 1e-6))
+
+    info = np.diag([100.0, 100.0, 100.0, 25.0, 25.0, 25.0])
+
+    def noisy(Rij, tij):
+        dR = _so3_exp(r.normal(size=3) * meas_noise * 0.3)
+        return Rij @ dR, tij + r.normal(size=3) * meas_noise
+
+    for i in range(n_poses - 1):
+        b.add_between(i, i + 1, noisy(*between(i, i + 1)), information=info)
+
+    n_extra = int((edges_per_pose - 1.0) * n_poses)
+    # short-range loop closures: nodes nearby in space (same sphere band)
+    cand_i = r.integers(0, n_poses - 1, size=3 * n_extra)
+    cand_j = cand_i + r.integers(2, 50, size=3 * n_extra)
+    keep = cand_j < n_poses
+    cand_i, cand_j = cand_i[keep][:n_extra], cand_j[keep][:n_extra]
+    for i, j in zip(cand_i, cand_j):
+        b.add_between(int(i), int(j), noisy(*between(int(i), int(j))),
+                      information=info)
+
+    graph, values = b.build(bucket=bucket)
+    return graph, values, (Rs, ts)

@@ -1,0 +1,11 @@
+from .variables import VariableArena, TangentLayout, layout_of, retract_all
+from .factors import FactorGraph, total_error, linearize_blocks, empty_graph
+from .builder import GraphBuilder, round_up
+from .lm import LMParams, LMResult, lm_optimize, gn_optimize
+
+__all__ = [
+    "VariableArena", "TangentLayout", "layout_of", "retract_all",
+    "FactorGraph", "total_error", "linearize_blocks", "empty_graph",
+    "GraphBuilder", "round_up",
+    "LMParams", "LMResult", "lm_optimize", "gn_optimize",
+]

@@ -1,0 +1,389 @@
+"""Host-side graph construction: append factors, freeze to padded arenas.
+
+Plays the role of the reference's imperative graph manager ``CGraphGT``
+(``/root/reference/gtsam/gtsam_graph.h:46-150``): callers add nodes and
+factors one by one; ``build()`` freezes everything into the static-shape
+``FactorGraph`` + ``VariableArena`` pytrees the jitted optimizers consume.
+Capacities round up to buckets so a growing graph only recompiles when it
+crosses a bucket boundary.
+
+Pure numpy on the host — device arrays are created once at ``build()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .factors import (
+    BetweenPoseTable,
+    FactorGraph,
+    ImuTable,
+    PlaneTable,
+    PriorPoseTable,
+    PriorVec3Table,
+    PriorVec6Table,
+)
+from .variables import VariableArena
+
+__all__ = ["GraphBuilder", "round_up"]
+
+
+def round_up(n: int, bucket: int = 64) -> int:
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+def _sqrt_info(dim, sqrt_info=None, sigmas=None, information=None,
+               covariance=None, sigma=None):
+    if sqrt_info is not None:
+        return np.asarray(sqrt_info, np.float64)
+    if sigmas is not None:
+        return np.diag(1.0 / np.asarray(sigmas, np.float64))
+    if sigma is not None:
+        return np.eye(dim) / float(sigma)
+    if information is not None:
+        info = np.asarray(information, np.float64)
+        return np.linalg.cholesky(info).T
+    if covariance is not None:
+        cov = np.asarray(covariance, np.float64)
+        return np.linalg.cholesky(np.linalg.inv(cov)).T
+    raise ValueError("one of sqrt_info/sigmas/sigma/information/covariance required")
+
+
+def _as_Rt(pose):
+    """Accept (R, t) tuple, 4x4 matrix, or an se3.Pose."""
+    if hasattr(pose, "R") and hasattr(pose, "t"):
+        return np.asarray(pose.R, np.float64), np.asarray(pose.t, np.float64)
+    if isinstance(pose, (tuple, list)) and len(pose) == 2:
+        return np.asarray(pose[0], np.float64), np.asarray(pose[1], np.float64)
+    pose = np.asarray(pose, np.float64)
+    if pose.shape == (4, 4):
+        return pose[:3, :3], pose[:3, 3]
+    raise ValueError(f"cannot interpret pose with shape {pose.shape}")
+
+
+class _Rows:
+    def __init__(self):
+        self.rows = []
+
+    def add(self, **kw):
+        self.rows.append(kw)
+
+    def col(self, name, default=None):
+        return [r.get(name, default) for r in self.rows]
+
+    def __len__(self):
+        return len(self.rows)
+
+
+class GraphBuilder:
+    def __init__(self, dtype=jnp.float64):
+        self.dtype = dtype
+        self._poses: list[tuple[np.ndarray, np.ndarray]] = []
+        self._vels: list[np.ndarray] = []
+        self._biases: list[np.ndarray] = []
+        self._planes: list[np.ndarray] = []
+        self._points: list[np.ndarray] = []
+        self._prior_pose = _Rows()
+        self._between = _Rows()
+        self._prior_vel = _Rows()
+        self._prior_bias = _Rows()
+        self._plane_factors = _Rows()
+        self._imu_factors = _Rows()
+
+    # -- variables -----------------------------------------------------
+    def add_pose(self, pose) -> int:
+        R, t = _as_Rt(pose)
+        self._poses.append((R, t))
+        return len(self._poses) - 1
+
+    def set_pose(self, idx: int, pose):
+        R, t = _as_Rt(pose)
+        self._poses[idx] = (R, t)
+
+    def add_vel(self, v) -> int:
+        self._vels.append(np.asarray(v, np.float64))
+        return len(self._vels) - 1
+
+    def add_bias(self, b) -> int:
+        self._biases.append(np.asarray(b, np.float64))
+        return len(self._biases) - 1
+
+    def add_plane(self, plane4) -> int:
+        p = np.asarray(plane4, np.float64)
+        n = np.linalg.norm(p[:3])
+        self._planes.append(p / n)
+        return len(self._planes) - 1
+
+    def add_point(self, p) -> int:
+        self._points.append(np.asarray(p, np.float64))
+        return len(self._points) - 1
+
+    @property
+    def num_poses(self) -> int:
+        return len(self._poses)
+
+    def pose(self, idx: int):
+        return self._poses[idx]
+
+    # -- factors --------------------------------------------------------
+    def add_prior_pose(self, idx: int, pose, robust=None, **noise):
+        R, t = _as_Rt(pose)
+        self._prior_pose.add(idx=idx, R=R, t=t, S=_sqrt_info(6, **noise),
+                             robust=robust)
+
+    def add_between(self, i: int, j: int, pose, robust=None, **noise):
+        R, t = _as_Rt(pose)
+        self._between.add(i=i, j=j, R=R, t=t, S=_sqrt_info(6, **noise),
+                          robust=robust)
+
+    def add_prior_vel(self, idx: int, mean, robust=None, **noise):
+        self._prior_vel.add(idx=idx, mean=np.asarray(mean, np.float64),
+                            S=_sqrt_info(3, **noise), robust=robust)
+
+    def add_prior_bias(self, idx: int, mean, robust=None, **noise):
+        self._prior_bias.add(idx=idx, mean=np.asarray(mean, np.float64),
+                             S=_sqrt_info(6, **noise), robust=robust)
+
+    def add_plane_factor(self, pose_idx: int, plane_idx: int, meas4,
+                         robust=None, **noise):
+        m = np.asarray(meas4, np.float64)
+        m = m / np.linalg.norm(m[:3])
+        self._plane_factors.add(pose_idx=pose_idx, plane_idx=plane_idx,
+                                meas=m, S=_sqrt_info(3, **noise), robust=robust)
+
+    def add_imu_factor(self, i: int, j: int, preint, gravity, robust=None,
+                       cov=None):
+        """CombinedImuFactor row from a PreintState (see imu.preintegration).
+
+        ``gravity``: (3,) world gravity vector (from ImuParams).
+        ``cov`` overrides the preintegrated covariance if given; whitening is
+        the inverse Cholesky factor of the 15x15 covariance.
+        """
+        C = np.asarray(cov if cov is not None else preint.cov, np.float64)
+        C = 0.5 * (C + C.T)
+        L = np.linalg.cholesky(C)
+        S = np.linalg.inv(L)
+        self._imu_factors.add(
+            i=i, j=j,
+            dR=np.asarray(preint.dR, np.float64),
+            dp=np.asarray(preint.dp, np.float64),
+            dv=np.asarray(preint.dv, np.float64),
+            H_R_bg=np.asarray(preint.H_R_bg, np.float64),
+            H_p_ba=np.asarray(preint.H_p_ba, np.float64),
+            H_p_bg=np.asarray(preint.H_p_bg, np.float64),
+            H_v_ba=np.asarray(preint.H_v_ba, np.float64),
+            H_v_bg=np.asarray(preint.H_v_bg, np.float64),
+            bias_hat=np.asarray(preint.bias_hat, np.float64),
+            dt=float(preint.dt),
+            gravity=np.asarray(gravity, np.float64),
+            S=S, robust=robust,
+        )
+
+    # -- freeze ----------------------------------------------------------
+    def _pad_table(self, rows: _Rows, cap: int, build_row_arrays):
+        n = len(rows)
+        robust = rows.col("robust")
+        kind = np.zeros(cap, np.int32)
+        k = np.ones(cap, np.float64)
+        for r, rb in enumerate(robust):
+            if rb is not None:
+                kind[r] = 1
+                k[r] = float(rb)
+        active = np.zeros(cap, bool)
+        active[:n] = True
+        return build_row_arrays(n), kind, k, active
+
+    def build(self, pose_cap=None, vel_cap=None, bias_cap=None,
+              plane_cap=None, point_cap=None, factor_caps=None,
+              bucket: int = 64):
+        dt = self.dtype
+        fc = factor_caps or {}
+
+        def cap_for(n, given):
+            if given is not None:
+                return max(given, max(n, 1))
+            return round_up(max(n, 1), bucket)
+
+        Px = cap_for(len(self._poses), pose_cap)
+        Pv = cap_for(len(self._vels), vel_cap) if self._vels else (vel_cap or 0)
+        Pb = cap_for(len(self._biases), bias_cap) if self._biases else (bias_cap or 0)
+        Pl = cap_for(len(self._planes), plane_cap) if self._planes else (plane_cap or 0)
+        Pq = cap_for(len(self._points), point_cap) if self._points else (point_cap or 0)
+
+        # values
+        pose_R = np.tile(np.eye(3), (Px, 1, 1))
+        pose_t = np.zeros((Px, 3))
+        for i, (R, t) in enumerate(self._poses):
+            pose_R[i], pose_t[i] = R, t
+        vel = np.zeros((Pv, 3))
+        for i, v in enumerate(self._vels):
+            vel[i] = v
+        bias = np.zeros((Pb, 6))
+        for i, b in enumerate(self._biases):
+            bias[i] = b
+        plane = np.zeros((Pl, 4))
+        plane[:, 2] = 1.0
+        for i, p in enumerate(self._planes):
+            plane[i] = p
+        point = np.zeros((Pq, 3))
+        for i, p in enumerate(self._points):
+            point[i] = p
+
+        values = VariableArena(
+            pose_R=jnp.asarray(pose_R, dt), pose_t=jnp.asarray(pose_t, dt),
+            vel=jnp.asarray(vel, dt), bias=jnp.asarray(bias, dt),
+            plane=jnp.asarray(plane, dt), point=jnp.asarray(point, dt),
+            num_poses=jnp.asarray(len(self._poses), jnp.int32),
+            num_vels=jnp.asarray(len(self._vels), jnp.int32),
+            num_biases=jnp.asarray(len(self._biases), jnp.int32),
+            num_planes=jnp.asarray(len(self._planes), jnp.int32),
+            num_points=jnp.asarray(len(self._points), jnp.int32),
+        )
+
+        # factor tables
+        def freeze(rows: _Rows, cap_key, edim, fill):
+            n = len(rows)
+            if n == 0 and cap_key not in fc:
+                cap = 0
+            else:
+                cap = fc.get(cap_key) or round_up(n, bucket)
+            cap = max(cap, n)
+            kind = np.zeros(cap, np.int32)
+            kval = np.ones(cap, np.float64)
+            for r, rb in enumerate(rows.col("robust")):
+                if rb is not None:
+                    kind[r], kval[r] = 1, float(rb)
+            active = np.zeros(cap, bool)
+            active[:n] = True
+            S = np.zeros((cap, edim, edim))
+            for r, Sr in enumerate(rows.col("S")):
+                S[r] = Sr
+            return cap, kind, kval, active, S, fill(cap)
+
+        cap, kind, kval, active, S, (idxs, Rs, ts) = freeze(
+            self._prior_pose, "prior_pose", 6,
+            lambda c: (
+                np.array(self._prior_pose.col("idx") + [0] * (c - len(self._prior_pose)), np.int32),
+                np.concatenate([np.array(self._prior_pose.col("R")).reshape(-1, 3, 3),
+                                np.tile(np.eye(3), (c - len(self._prior_pose), 1, 1))])
+                if len(self._prior_pose) else np.tile(np.eye(3), (c, 1, 1)),
+                np.concatenate([np.array(self._prior_pose.col("t")).reshape(-1, 3),
+                                np.zeros((c - len(self._prior_pose), 3))])
+                if len(self._prior_pose) else np.zeros((c, 3)),
+            ))
+        prior_pose = PriorPoseTable(
+            idx=jnp.asarray(idxs), mean_R=jnp.asarray(Rs, dt),
+            mean_t=jnp.asarray(ts, dt), sqrt_info=jnp.asarray(S, dt),
+            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
+            active=jnp.asarray(active),
+        )
+
+        cap, kind, kval, active, S, (iis, jjs, Rs, ts) = freeze(
+            self._between, "between", 6,
+            lambda c: (
+                np.array(self._between.col("i") + [0] * (c - len(self._between)), np.int32),
+                np.array(self._between.col("j") + [0] * (c - len(self._between)), np.int32),
+                np.concatenate([np.array(self._between.col("R")).reshape(-1, 3, 3),
+                                np.tile(np.eye(3), (c - len(self._between), 1, 1))])
+                if len(self._between) else np.tile(np.eye(3), (c, 1, 1)),
+                np.concatenate([np.array(self._between.col("t")).reshape(-1, 3),
+                                np.zeros((c - len(self._between), 3))])
+                if len(self._between) else np.zeros((c, 3)),
+            ))
+        between = BetweenPoseTable(
+            i=jnp.asarray(iis), j=jnp.asarray(jjs), meas_R=jnp.asarray(Rs, dt),
+            meas_t=jnp.asarray(ts, dt), sqrt_info=jnp.asarray(S, dt),
+            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
+            active=jnp.asarray(active),
+        )
+
+        cap, kind, kval, active, S, (idxs, means) = freeze(
+            self._prior_vel, "prior_vel", 3,
+            lambda c: (
+                np.array(self._prior_vel.col("idx") + [0] * (c - len(self._prior_vel)), np.int32),
+                np.concatenate([np.array(self._prior_vel.col("mean")).reshape(-1, 3),
+                                np.zeros((c - len(self._prior_vel), 3))])
+                if len(self._prior_vel) else np.zeros((c, 3)),
+            ))
+        prior_vel = PriorVec3Table(
+            idx=jnp.asarray(idxs), mean=jnp.asarray(means, dt),
+            sqrt_info=jnp.asarray(S, dt), robust_kind=jnp.asarray(kind),
+            robust_k=jnp.asarray(kval, dt), active=jnp.asarray(active),
+        )
+
+        cap, kind, kval, active, S, (idxs, means) = freeze(
+            self._prior_bias, "prior_bias", 6,
+            lambda c: (
+                np.array(self._prior_bias.col("idx") + [0] * (c - len(self._prior_bias)), np.int32),
+                np.concatenate([np.array(self._prior_bias.col("mean")).reshape(-1, 6),
+                                np.zeros((c - len(self._prior_bias), 6))])
+                if len(self._prior_bias) else np.zeros((c, 6)),
+            ))
+        prior_bias = PriorVec6Table(
+            idx=jnp.asarray(idxs), mean=jnp.asarray(means, dt),
+            sqrt_info=jnp.asarray(S, dt), robust_kind=jnp.asarray(kind),
+            robust_k=jnp.asarray(kval, dt), active=jnp.asarray(active),
+        )
+
+        cap, kind, kval, active, S, (pidx, lidx, meas) = freeze(
+            self._plane_factors, "plane", 3,
+            lambda c: (
+                np.array(self._plane_factors.col("pose_idx") + [0] * (c - len(self._plane_factors)), np.int32),
+                np.array(self._plane_factors.col("plane_idx") + [0] * (c - len(self._plane_factors)), np.int32),
+                np.concatenate([np.array(self._plane_factors.col("meas")).reshape(-1, 4),
+                                np.tile(np.array([0.0, 0.0, 1.0, 0.0]), (c - len(self._plane_factors), 1))])
+                if len(self._plane_factors) else np.tile(np.array([0.0, 0.0, 1.0, 0.0]), (c, 1)),
+            ))
+        plane_tab = PlaneTable(
+            pose_idx=jnp.asarray(pidx), plane_idx=jnp.asarray(lidx),
+            meas=jnp.asarray(meas, dt), sqrt_info=jnp.asarray(S, dt),
+            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
+            active=jnp.asarray(active),
+        )
+
+        # IMU table
+        nimu = len(self._imu_factors)
+        if nimu == 0 and "imu" not in fc:
+            icap = 0
+        else:
+            icap = fc.get("imu") or round_up(nimu, bucket)
+        icap = max(icap, nimu)
+
+        def mat_col(name, shape, fill):
+            out = np.tile(fill, (icap, *[1] * fill.ndim))
+            for r, v in enumerate(self._imu_factors.col(name)):
+                out[r] = v
+            return out
+
+        kind = np.zeros(icap, np.int32)
+        kval = np.ones(icap, np.float64)
+        active = np.zeros(icap, bool)
+        active[:nimu] = True
+        Simu = np.zeros((icap, 15, 15))
+        for r, Sr in enumerate(self._imu_factors.col("S")):
+            Simu[r] = Sr
+        imu_tab = ImuTable(
+            i=jnp.asarray(np.array(self._imu_factors.col("i") + [0] * (icap - nimu), np.int32)),
+            j=jnp.asarray(np.array(self._imu_factors.col("j") + [0] * (icap - nimu), np.int32)),
+            dR=jnp.asarray(mat_col("dR", (3, 3), np.eye(3)), dt),
+            dp=jnp.asarray(mat_col("dp", (3,), np.zeros(3)), dt),
+            dv=jnp.asarray(mat_col("dv", (3,), np.zeros(3)), dt),
+            H_R_bg=jnp.asarray(mat_col("H_R_bg", (3, 3), np.zeros((3, 3))), dt),
+            H_p_ba=jnp.asarray(mat_col("H_p_ba", (3, 3), np.zeros((3, 3))), dt),
+            H_p_bg=jnp.asarray(mat_col("H_p_bg", (3, 3), np.zeros((3, 3))), dt),
+            H_v_ba=jnp.asarray(mat_col("H_v_ba", (3, 3), np.zeros((3, 3))), dt),
+            H_v_bg=jnp.asarray(mat_col("H_v_bg", (3, 3), np.zeros((3, 3))), dt),
+            bias_hat=jnp.asarray(mat_col("bias_hat", (6,), np.zeros(6)), dt),
+            dt=jnp.asarray(np.array([float(x) for x in self._imu_factors.col("dt")] + [1.0] * (icap - nimu)), dt),
+            gravity=jnp.asarray(mat_col("gravity", (3,), np.zeros(3)), dt),
+            sqrt_info=jnp.asarray(Simu, dt),
+            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
+            active=jnp.asarray(active),
+        )
+
+        graph = FactorGraph(
+            prior_pose=prior_pose, between=between, prior_vel=prior_vel,
+            prior_bias=prior_bias, plane=plane_tab, imu=imu_tab,
+        )
+        return graph, values

@@ -1,0 +1,186 @@
+"""Batch optimizers: Levenberg–Marquardt (GTSAM-matching) and Gauss–Newton.
+
+``lm_optimize`` reproduces GTSAM 4.0 ``LevenbergMarquardtOptimizer`` default
+semantics — the reference's batch path ``CGraphGT::optimizeGraphBatch``
+(gtsam_graph.cpp:1784-1788) and g2o's 20-iteration LM
+(g2o/g2o_graph.cpp:241-252):
+
+- damping ``H + lam I`` on the whitened system (diagonalDamping=false),
+- lambdaInitial 1e-5, fixed lambda factor 10, upper bound 1e5,
+- step acceptance by model fidelity > 1e-3
+  (actual cost change / linearized cost change),
+- convergence when relative decrease <= 1e-5 OR absolute decrease <= 1e-5,
+- at most 100 outer iterations.
+
+Everything runs under ``jit``: outer ``lax.while_loop`` over iterations, an
+inner ``lax.while_loop`` over lambda trials that reuses one linearization
+per outer iteration (exactly GTSAM's relinearize-once-per-iterate shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import assemble, solve
+from .factors import FactorGraph, linearize_blocks, total_error
+from .variables import VariableArena, retract_all, used_slot_mask
+
+__all__ = ["LMParams", "LMResult", "lm_optimize", "gn_optimize"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LMParams:
+    lambda_initial: float = 1e-5
+    lambda_factor: float = 10.0
+    lambda_upper: float = 1e5
+    lambda_lower: float = 0.0
+    min_model_fidelity: float = 1e-3
+    max_iterations: int = 100
+    relative_error_tol: float = 1e-5
+    absolute_error_tol: float = 1e-5
+    error_tol: float = 0.0
+    max_trials: int = 12          # lambda spans 1e-5..1e5 in 10 x10 steps
+    solver: str = "dense"          # "dense" | "pcg"
+    pcg_iters: int = 250
+    pcg_tol: float = 1e-10
+
+
+class LMResult(NamedTuple):
+    values: VariableArena
+    error: jnp.ndarray
+    iterations: jnp.ndarray
+    lam: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _solvers(blocks, mask, params: LMParams):
+    """Return (solve(lam) -> delta, hmul(delta) -> H delta, g)."""
+    g = jnp.zeros(mask.shape[0], dtype=mask.dtype)
+    for r, J, cols in blocks:
+        g = g.at[cols].add(jnp.einsum("fei,fe->fi", J, r))
+
+    if params.solver == "dense":
+        dim = mask.shape[0]
+        H = jnp.diag(1.0 - mask)
+        for r, J, cols in blocks:
+            Hf = jnp.einsum("fei,fej->fij", J, J)
+            H = H.at[cols[:, :, None], cols[:, None, :]].add(Hf)
+
+        def solve_fn(lam):
+            return solve.solve_dense(H, g, lam)
+
+        def hmul(v):
+            return H @ v
+
+    else:
+
+        def solve_fn(lam):
+            hvp = assemble.hvp_fn(blocks, mask, lam)
+            M = assemble.diag_precond(blocks, mask, lam)
+            return solve.solve_pcg(hvp, g, M, params.pcg_iters, params.pcg_tol)
+
+        hvp0 = assemble.hvp_fn(blocks, mask, 0.0)
+
+        def hmul(v):
+            return hvp0(v)
+
+    return solve_fn, hmul, g
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def lm_optimize(graph: FactorGraph, values: VariableArena,
+                params: LMParams = LMParams()) -> LMResult:
+    dtype = values.pose_t.dtype
+    err0 = total_error(graph, values)
+
+    def outer_cond(state):
+        values, error, lam, it, done = state
+        return (~done) & (it < params.max_iterations)
+
+    def outer_body(state):
+        values, error, lam, it, _ = state
+        blocks = linearize_blocks(graph, values)
+        mask = used_slot_mask(values)
+        solve_fn, hmul, g = _solvers(blocks, mask, params)
+
+        def trial_cond(ts):
+            lam, trials, accepted, stop, *_ = ts
+            return (~accepted) & (~stop) & (trials < params.max_trials)
+
+        def trial_body(ts):
+            lam, trials, _, _, best_vals, best_err = ts
+            delta = solve_fn(lam)
+            new_vals = retract_all(values, delta)
+            new_err = total_error(graph, new_vals)
+            # linearized cost decrease: -(g . d) - 0.5 d . (H d)
+            lin_dec = -jnp.dot(g, delta) - 0.5 * jnp.dot(delta, hmul(delta))
+            cost_dec = error - new_err
+            fidelity = cost_dec / jnp.where(lin_dec != 0, lin_dec, 1.0)
+            ok = (lin_dec > 0) & (fidelity > params.min_model_fidelity)
+            ok = ok & jnp.isfinite(new_err)
+            lam_next = jnp.where(ok, lam, lam * params.lambda_factor)
+            stop = (~ok) & (lam_next > params.lambda_upper)
+            best_vals = jax.tree.map(
+                lambda a, b: jnp.where(ok, b, a), best_vals, new_vals
+            )
+            best_err = jnp.where(ok, new_err, best_err)
+            return (lam_next, trials + 1, ok, stop, best_vals, best_err)
+
+        ts0 = (lam, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+               jnp.zeros((), bool), values, error)
+        lam_out, _, accepted, stuck, new_vals, new_err = jax.lax.while_loop(
+            trial_cond, trial_body, ts0
+        )
+
+        # on acceptance decrease lambda (GTSAM fixed-factor schedule)
+        lam_next = jnp.where(
+            accepted,
+            jnp.maximum(lam_out / params.lambda_factor, params.lambda_lower),
+            lam_out,
+        )
+        abs_dec = error - new_err
+        rel_dec = abs_dec / jnp.where(error > 0, error, 1.0)
+        converged = accepted & (
+            (new_err <= params.error_tol)
+            | (rel_dec <= params.relative_error_tol)
+            | (abs_dec <= params.absolute_error_tol)
+        )
+        done = converged | (~accepted) | stuck
+        return (new_vals, new_err, lam_next, it + 1, done)
+
+    state0 = (values, err0, jnp.asarray(params.lambda_initial, dtype),
+              jnp.zeros((), jnp.int32), err0 <= params.error_tol)
+    values, error, lam, it, done = jax.lax.while_loop(
+        outer_cond, outer_body, state0
+    )
+    return LMResult(values, error, it, lam, done)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "solver", "damping", "pcg_iters"),
+)
+def gn_optimize(graph: FactorGraph, values: VariableArena,
+                iterations: int = 10, solver: str = "dense",
+                damping: float = 0.0, pcg_iters: int = 250) -> LMResult:
+    """Plain Gauss–Newton with a fixed trip count — the throughput benchmark
+    unit ("GN-iteration throughput" target in BASELINE.md)."""
+    params = LMParams(solver=solver, pcg_iters=pcg_iters)
+
+    def body(vals, _):
+        blocks = linearize_blocks(graph, vals)
+        mask = used_slot_mask(vals)
+        solve_fn, _, _ = _solvers(blocks, mask, params)
+        delta = solve_fn(jnp.asarray(damping, vals.pose_t.dtype))
+        return retract_all(vals, delta), None
+
+    values, _ = jax.lax.scan(body, values, None, length=iterations)
+    err = total_error(graph, values)
+    return LMResult(values, err, jnp.asarray(iterations, jnp.int32),
+                    jnp.asarray(damping, values.pose_t.dtype),
+                    jnp.ones((), bool))

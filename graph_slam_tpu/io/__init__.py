@@ -1,0 +1,16 @@
+from .vro_log import VROLog, read_vro_log, write_vro_log, FAILED_INFO_SENTINEL
+from .trajectory import (
+    Trajectory,
+    read_g2o,
+    read_trajectory,
+    write_g2o,
+    write_ply_points,
+    write_trajectory,
+    write_trajectory_ply,
+)
+
+__all__ = [
+    "VROLog", "read_vro_log", "write_vro_log", "FAILED_INFO_SENTINEL",
+    "Trajectory", "read_trajectory", "write_trajectory", "write_ply_points",
+    "write_trajectory_ply", "write_g2o", "read_g2o",
+]

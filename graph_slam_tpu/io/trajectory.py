@@ -1,0 +1,153 @@
+"""Trajectory / PLY / g2o writers and readers, reference-format compatible.
+
+- trajectory log lines: ``id x y z qx qy qz qw sid`` — written by
+  ``CGraphGT::writeTrajectory`` (``/root/reference/gtsam/gtsam_graph.cpp:1819-1840``)
+  and re-read by every mapping tool (``mapping/mapping_PCD.cpp:184-206``).
+  Note the quaternion is printed x y z w (Eigen order) while GTSAM's Rot3
+  constructor takes w x y z — the classic pitfall the reference documents at
+  ``mapping/mapping_PCD.cpp:115-117``.
+- colored ASCII PLY point/trajectory files (``trajectoryPLY`` + ``headerPLY``,
+  gtsam_graph.cpp:1842-1939).
+- g2o text format (``writeG2O``, gtsam_graph.cpp:1941-1945): VERTEX_SE3:QUAT
+  and EDGE_SE3:QUAT lines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = [
+    "TrajEntry",
+    "write_trajectory",
+    "read_trajectory",
+    "write_ply_points",
+    "write_trajectory_ply",
+    "write_g2o",
+    "read_g2o",
+]
+
+
+@dataclasses.dataclass
+class Trajectory:
+    ids: np.ndarray   # (N,) int graph ids
+    t: np.ndarray     # (N, 3) positions
+    quat: np.ndarray  # (N, 4) (w, x, y, z)
+    seq: np.ndarray   # (N,) int sequence ids
+
+
+TrajEntry = Trajectory  # alias
+
+
+def write_trajectory(path: str, ids, t, quat_wxyz, seq) -> None:
+    """``id x y z qx qy qz qw sid`` lines (quat stored wxyz, printed xyzw)."""
+    t = np.asarray(t)
+    q = np.asarray(quat_wxyz)
+    with open(path, "w") as f:
+        for k in range(len(ids)):
+            f.write(
+                f"{int(ids[k])} {float(t[k,0])!r} {float(t[k,1])!r} "
+                f"{float(t[k,2])!r} {float(q[k,1])!r} {float(q[k,2])!r} "
+                f"{float(q[k,3])!r} {float(q[k,0])!r} {int(seq[k])}\n"
+            )
+
+
+def read_trajectory(path: str) -> Trajectory:
+    ids, ts, qs, seqs = [], [], [], []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) < 9:
+                continue
+            ids.append(int(float(tok[0])))
+            ts.append([float(x) for x in tok[1:4]])
+            qx, qy, qz, qw = (float(x) for x in tok[4:8])
+            qs.append([qw, qx, qy, qz])
+            seqs.append(int(float(tok[8])))
+    return Trajectory(np.asarray(ids), np.asarray(ts), np.asarray(qs),
+                      np.asarray(seqs))
+
+
+def _ply_header(n: int) -> str:
+    return (
+        "ply\nformat ascii 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    )
+
+
+def write_ply_points(path: str, points, colors) -> None:
+    """Colored ASCII PLY; ``colors`` is (N, 3) uint8 or a single RGB triple."""
+    points = np.asarray(points)
+    colors = np.asarray(colors)
+    if colors.ndim == 1:
+        colors = np.broadcast_to(colors, (len(points), 3))
+    with open(path, "w") as f:
+        f.write(_ply_header(len(points)))
+        for p, c in zip(points, colors):
+            f.write(f"{float(p[0])!r} {float(p[1])!r} {float(p[2])!r} "
+                    f"{int(c[0])} {int(c[1])} {int(c[2])}\n")
+
+
+def write_trajectory_ply(path: str, t, color=(255, 0, 0)) -> None:
+    write_ply_points(path, t, np.asarray(color))
+
+
+def write_g2o(path: str, t, quat_wxyz, edges) -> None:
+    """g2o text graph: vertices + EDGE_SE3:QUAT with upper-triangular info.
+
+    ``edges`` is an iterable of (i, j, t_ij (3,), q_ij (wxyz 4,), info (6,6)).
+    """
+    t = np.asarray(t)
+    q = np.asarray(quat_wxyz)
+    iu = np.triu_indices(6)
+    with open(path, "w") as f:
+        for k in range(len(t)):
+            f.write(
+                f"VERTEX_SE3:QUAT {k} {float(t[k,0])!r} {float(t[k,1])!r} "
+                f"{float(t[k,2])!r} {float(q[k,1])!r} {float(q[k,2])!r} "
+                f"{float(q[k,3])!r} {float(q[k,0])!r}\n"
+            )
+        for (i, j, tij, qij, info) in edges:
+            info = np.asarray(info)
+            vals = " ".join(repr(float(v)) for v in info[iu])
+            f.write(
+                f"EDGE_SE3:QUAT {int(i)} {int(j)} "
+                f"{float(tij[0])!r} {float(tij[1])!r} {float(tij[2])!r} "
+                f"{float(qij[1])!r} {float(qij[2])!r} {float(qij[3])!r} "
+                f"{float(qij[0])!r} {vals}\n"
+            )
+
+
+def read_g2o(path: str):
+    """Parse VERTEX_SE3:QUAT / EDGE_SE3:QUAT lines.
+
+    Returns (vertices, edges): vertices dict id -> (t (3,), q (wxyz)),
+    edges list of (i, j, t, q_wxyz, info6x6).
+    """
+    vertices = {}
+    edges = []
+    iu = np.triu_indices(6)
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "VERTEX_SE3:QUAT":
+                vid = int(tok[1])
+                t = np.array([float(x) for x in tok[2:5]])
+                qx, qy, qz, qw = (float(x) for x in tok[5:9])
+                vertices[vid] = (t, np.array([qw, qx, qy, qz]))
+            elif tok[0] == "EDGE_SE3:QUAT":
+                i, j = int(tok[1]), int(tok[2])
+                t = np.array([float(x) for x in tok[3:6]])
+                qx, qy, qz, qw = (float(x) for x in tok[6:10])
+                vals = np.array([float(x) for x in tok[10:31]])
+                info = np.zeros((6, 6))
+                info[iu] = vals
+                info = info + info.T - np.diag(np.diag(info))
+                edges.append((i, j, t, np.array([qw, qx, qy, qz]), info))
+    return vertices, edges

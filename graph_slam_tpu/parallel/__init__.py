@@ -1,0 +1,10 @@
+from .sharding import (
+    make_mesh,
+    pad_graph_for_mesh,
+    shard_graph,
+    sharded_gn,
+    sharded_gn_step,
+)
+
+__all__ = ["make_mesh", "pad_graph_for_mesh", "shard_graph", "sharded_gn",
+           "sharded_gn_step"]

@@ -1,0 +1,142 @@
+"""Offline SE(3) pose-graph SLAM from a VRO log — ``test_gt_graph`` twin.
+
+Reference pipeline (``/root/reference/gtsam/test_gt_graph.cpp:38-130`` online,
+replayed offline via ``readVRORecord``/``addNodeOffline``/``addEdgeOffline``,
+``gtsam_graph.cpp:1505-1668``):
+
+1. first node -> near-exact pose prior (sigma 1e-7, gtsam_graph.cpp:339-341);
+2. every odometry record creates the next node; the VO transform is taken
+   from camera to IMU frame by conjugation with ``T_u2c`` and its information
+   by the adjoint (gtsam_graph.cpp:640, 675-676); initial estimate composes
+   from the predecessor (``:655-668``);
+3. a *failed* record (info sentinel 10000, which doubles as the fake-odometry
+   identity-edge information ``fakeOdoNode`` uses, ``:697-722``) becomes an
+   identity edge in pure-VO mode;
+4. records whose both endpoints already exist are loop closures;
+5. Levenberg-Marquardt batch optimization; trajectory + PLY output in the
+   world frame ``T_w2o``.
+
+Seq-id -> dense-graph-id mapping reproduces ``correctMatchingID``
+(gtsam_graph.cpp:1626-1649).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SlamParams
+from ..core import se3, so3
+from ..graph import GraphBuilder, LMParams, gn_optimize, lm_optimize, total_error
+from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
+
+__all__ = ["PoseGraphResult", "build_pose_graph", "run_pose_graph",
+           "trajectory_arrays"]
+
+
+@dataclasses.dataclass
+class PoseGraphResult:
+    values: object            # VariableArena after optimization
+    graph: object             # FactorGraph
+    error0: float
+    error: float
+    seq_ids: np.ndarray       # (N,) sequence id per graph id
+    iterations: int
+
+
+def _conjugate_edge(xi, info, u2c: Optional[se3.Pose]):
+    """Camera-frame edge -> body frame: T' = U T U^-1, info' = Ad_U info Ad_U^T."""
+    T = se3.expmap(jnp.asarray(xi))
+    if u2c is None:
+        return T, np.asarray(info)
+    Tb = se3.compose(se3.compose(u2c, T), se3.inverse(u2c))
+    Ad = np.asarray(se3.adjoint(u2c))
+    return Tb, Ad @ np.asarray(info) @ Ad.T
+
+
+def build_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
+                     u2c: Optional[se3.Pose] = None, only_vo: bool = True,
+                     bucket: int = 256):
+    """VRO log -> (FactorGraph, VariableArena, seq_ids).
+
+    Nodes are created in file order (the replay order of the reference
+    mains); edges between existing nodes are loop closures.
+    """
+    b = GraphBuilder()
+    seq2graph: dict[int, int] = {}
+    seq_ids: list[int] = []
+
+    def ensure_first(seq):
+        if not seq2graph:
+            gid = b.add_pose((np.eye(3), np.zeros(3)))
+            seq2graph[seq] = gid
+            seq_ids.append(seq)
+            b.add_prior_pose(gid, (np.eye(3), np.zeros(3)),
+                             sigmas=np.full(6, 1e-7))
+
+    for k in range(len(log)):
+        id_to = int(log.id_to[k])
+        id_from = int(log.id_from[k])
+        info = log.info[k]
+        failed = info[0, 0] == FAILED_INFO_SENTINEL
+        ensure_first(id_from)
+        if id_from not in seq2graph:
+            # reference replay assumes ordered logs; skip dangling edges
+            continue
+        gi = seq2graph[id_from]
+        T, info_b = _conjugate_edge(log.xi[k], info, u2c)
+
+        if id_to not in seq2graph:
+            # odometry edge creating a new node
+            Ri, ti = b.pose(gi)
+            prev = se3.Pose(jnp.asarray(Ri), jnp.asarray(ti))
+            est = se3.compose(prev, T)
+            gj = b.add_pose((np.asarray(est.R), np.asarray(est.t)))
+            seq2graph[id_to] = gj
+            seq_ids.append(id_to)
+            if failed and not only_vo:
+                continue  # pose comes from IMU in the VIO pipeline
+            b.add_between(gi, gj, (np.asarray(T.R), np.asarray(T.t)),
+                          information=info_b)
+        else:
+            if failed:
+                continue
+            gj = seq2graph[id_to]
+            b.add_between(gi, gj, (np.asarray(T.R), np.asarray(T.t)),
+                          information=info_b)
+
+    graph, values = b.build(bucket=bucket)
+    return graph, values, np.asarray(seq_ids)
+
+
+def run_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
+                   u2c: Optional[se3.Pose] = None,
+                   lm_params: LMParams = LMParams(),
+                   bucket: int = 256) -> PoseGraphResult:
+    graph, values, seq_ids = build_pose_graph(log, params, u2c, bucket=bucket)
+    e0 = float(total_error(graph, values))
+    if params.optimizer == "gn":
+        res = gn_optimize(graph, values, iterations=params.optimize_step)
+    else:
+        res = lm_optimize(graph, values, lm_params)
+    return PoseGraphResult(
+        values=res.values, graph=graph, error0=e0, error=float(res.error),
+        seq_ids=seq_ids, iterations=int(res.iterations),
+    )
+
+
+def trajectory_arrays(values, seq_ids, w2o: Optional[se3.Pose] = None):
+    """(ids, t, quat_wxyz, seq) in the world frame, writeTrajectory contract."""
+    n = len(seq_ids)
+    R = values.pose_R[:n]
+    t = values.pose_t[:n]
+    if w2o is not None:
+        P = se3.compose(se3.Pose(jnp.broadcast_to(w2o.R, R.shape),
+                                 jnp.broadcast_to(w2o.t, t.shape)),
+                        se3.Pose(R, t))
+        R, t = P.R, P.t
+    q = so3.matrix_to_quat(R)
+    return np.arange(n), np.asarray(t), np.asarray(q), np.asarray(seq_ids)
