@@ -20,9 +20,11 @@ from .factors import (
     FactorGraph,
     ImuTable,
     PlaneTable,
+    PriorPointTable,
     PriorPoseTable,
     PriorVec3Table,
     PriorVec6Table,
+    ProjectionTable,
 )
 from .variables import VariableArena
 
@@ -90,6 +92,8 @@ class GraphBuilder:
         self._prior_bias = _Rows()
         self._plane_factors = _Rows()
         self._imu_factors = _Rows()
+        self._projection = _Rows()
+        self._prior_point = _Rows()
 
     # -- variables -----------------------------------------------------
     def add_pose(self, pose) -> int:
@@ -179,6 +183,34 @@ class GraphBuilder:
             gravity=np.asarray(gravity, np.float64),
             S=S, robust=robust,
         )
+
+    def add_projection_factor(self, pose_idx: int, point_idx: int, uv,
+                              cal, body_pose=None, sigma=1.0, robust=None):
+        """GenericProjectionFactor row; ``cal`` is a Cal3DS2-like object or a
+        9-tuple (fx, fy, s, u0, v0, k1, k2, p1, p2)."""
+        if hasattr(cal, "fx"):
+            c = np.array([float(cal.fx), float(cal.fy),
+                          float(getattr(cal, "s", 0.0)),
+                          float(getattr(cal, "u0", getattr(cal, "cx", 0.0))),
+                          float(getattr(cal, "v0", getattr(cal, "cy", 0.0))),
+                          float(cal.k1), float(cal.k2),
+                          float(cal.p1), float(cal.p2)])
+        else:
+            c = np.asarray(cal, np.float64)
+            if c.shape[0] < 9:
+                c = np.concatenate([c, np.zeros(9 - c.shape[0])])
+        if body_pose is None:
+            bR, bt = np.eye(3), np.zeros(3)
+        else:
+            bR, bt = _as_Rt(body_pose)
+        self._projection.add(pose_idx=pose_idx, point_idx=point_idx,
+                             uv=np.asarray(uv, np.float64), cal=c,
+                             bR=bR, bt=bt, S=np.eye(2) / float(sigma),
+                             robust=robust)
+
+    def add_prior_point(self, idx: int, mean, robust=None, **noise):
+        self._prior_point.add(idx=idx, mean=np.asarray(mean, np.float64),
+                              S=_sqrt_info(3, **noise), robust=robust)
 
     # -- freeze ----------------------------------------------------------
     def _pad_table(self, rows: _Rows, cap: int, build_row_arrays):
@@ -382,8 +414,65 @@ class GraphBuilder:
             active=jnp.asarray(active),
         )
 
+        # projection table
+        nproj = len(self._projection)
+        if nproj == 0 and "projection" not in fc:
+            pcap = 0
+        else:
+            pcap = max(fc.get("projection") or round_up(nproj, bucket), nproj)
+        kind = np.zeros(pcap, np.int32)
+        kval = np.ones(pcap, np.float64)
+        active = np.zeros(pcap, bool)
+        active[:nproj] = True
+        for r, rb in enumerate(self._projection.col("robust")):
+            if rb is not None:
+                kind[r], kval[r] = 1, float(rb)
+        Sproj = np.zeros((pcap, 2, 2))
+        uv = np.zeros((pcap, 2))
+        cal = np.zeros((pcap, 9)); cal[:, 0] = cal[:, 1] = 1.0
+        bR = np.tile(np.eye(3), (pcap, 1, 1)); bt = np.zeros((pcap, 3))
+        for r in range(nproj):
+            row = self._projection.rows[r]
+            Sproj[r] = row["S"]; uv[r] = row["uv"]; cal[r] = row["cal"]
+            bR[r] = row["bR"]; bt[r] = row["bt"]
+        proj_tab = ProjectionTable(
+            pose_idx=jnp.asarray(np.array(self._projection.col("pose_idx") + [0] * (pcap - nproj), np.int32)),
+            point_idx=jnp.asarray(np.array(self._projection.col("point_idx") + [0] * (pcap - nproj), np.int32)),
+            uv=jnp.asarray(uv, dt), cal=jnp.asarray(cal, dt),
+            body_R=jnp.asarray(bR, dt), body_t=jnp.asarray(bt, dt),
+            sqrt_info=jnp.asarray(Sproj, dt),
+            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
+            active=jnp.asarray(active),
+        )
+
+        # point-prior table
+        npp = len(self._prior_point)
+        if npp == 0 and "prior_point" not in fc:
+            qcap = 0
+        else:
+            qcap = max(fc.get("prior_point") or round_up(npp, bucket), npp)
+        kind = np.zeros(qcap, np.int32)
+        kval = np.ones(qcap, np.float64)
+        active = np.zeros(qcap, bool)
+        active[:npp] = True
+        for r, rb in enumerate(self._prior_point.col("robust")):
+            if rb is not None:
+                kind[r], kval[r] = 1, float(rb)
+        Spp = np.zeros((qcap, 3, 3))
+        means = np.zeros((qcap, 3))
+        for r in range(npp):
+            Spp[r] = self._prior_point.rows[r]["S"]
+            means[r] = self._prior_point.rows[r]["mean"]
+        pp_tab = PriorPointTable(
+            idx=jnp.asarray(np.array(self._prior_point.col("idx") + [0] * (qcap - npp), np.int32)),
+            mean=jnp.asarray(means, dt), sqrt_info=jnp.asarray(Spp, dt),
+            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
+            active=jnp.asarray(active),
+        )
+
         graph = FactorGraph(
             prior_pose=prior_pose, between=between, prior_vel=prior_vel,
             prior_bias=prior_bias, plane=plane_tab, imu=imu_tab,
+            projection=proj_tab, prior_point=pp_tab,
         )
         return graph, values

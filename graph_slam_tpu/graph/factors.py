@@ -33,6 +33,8 @@ __all__ = [
     "PriorVec6Table",
     "PlaneTable",
     "ImuTable",
+    "ProjectionTable",
+    "PriorPointTable",
     "FactorGraph",
     "total_error",
     "linearize_blocks",
@@ -139,6 +141,39 @@ class ImuTable(NamedTuple):
     active: jnp.ndarray
 
 
+class ProjectionTable(NamedTuple):
+    """GenericProjectionFactor<Pose3, Point3, Cal3DS2> rows.
+
+    Reference: BA insertion with body_P_sensor = T_u2c and pixel sigma 1
+    (gtsam_graph.cpp:370-448, 500-610). ``cal`` packs
+    (fx, fy, s, u0, v0, k1, k2, p1, p2) per row; ``body_R``/``body_t`` is
+    the body->sensor extrinsic.
+    """
+
+    pose_idx: jnp.ndarray   # (F,) int32
+    point_idx: jnp.ndarray  # (F,) int32
+    uv: jnp.ndarray         # (F, 2) measured pixel
+    cal: jnp.ndarray        # (F, 9)
+    body_R: jnp.ndarray     # (F, 3, 3)
+    body_t: jnp.ndarray     # (F, 3)
+    sqrt_info: jnp.ndarray  # (F, 2, 2)
+    robust_kind: jnp.ndarray
+    robust_k: jnp.ndarray
+    active: jnp.ndarray
+
+
+class PriorPointTable(NamedTuple):
+    """PriorFactor<Point3> rows (BA point anchors, sigma=0.014,
+    gtsam_graph.cpp:484-489,538-543)."""
+
+    idx: jnp.ndarray
+    mean: jnp.ndarray       # (F, 3)
+    sqrt_info: jnp.ndarray  # (F, 3, 3)
+    robust_kind: jnp.ndarray
+    robust_k: jnp.ndarray
+    active: jnp.ndarray
+
+
 class FactorGraph(NamedTuple):
     prior_pose: PriorPoseTable
     between: BetweenPoseTable
@@ -146,6 +181,8 @@ class FactorGraph(NamedTuple):
     prior_bias: PriorVec6Table
     plane: PlaneTable
     imu: ImuTable
+    projection: ProjectionTable
+    prior_point: PriorPointTable
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +250,29 @@ def _imu_res(values: VariableArena, row, delta):
     return jnp.concatenate([r_R, r_p, r_v, r_b])
 
 
+def _projection_res(values: VariableArena, row, delta):
+    """Pixel reprojection error: project(T_sensor^-1 q) - uv.
+
+    T_sensor = X * body_P_sensor (GTSAM GenericProjectionFactor with
+    body_P_sensor semantics).
+    """
+    from ..vision.cal3ds2 import Cal3DS2, project_point
+
+    X = se3.retract(
+        se3.Pose(values.pose_R[row.pose_idx], values.pose_t[row.pose_idx]),
+        delta[:6],
+    )
+    q = values.point[row.point_idx] + delta[6:]
+    T_ws = se3.compose(X, se3.Pose(row.body_R, row.body_t))
+    p_cam = se3.transform_to(T_ws, q)
+    K = Cal3DS2(*[row.cal[k] for k in range(9)])
+    return project_point(K, p_cam) - row.uv
+
+
+def _prior_point_res(values: VariableArena, row, delta):
+    return values.point[row.idx] + delta - row.mean
+
+
 # ---------------------------------------------------------------------------
 # Generic per-type machinery
 
@@ -266,6 +326,10 @@ def _type_linearize(res_fn, delta_dim):
 
 _imu_error = _type_error(_imu_res, 30)
 _imu_lin = _type_linearize(_imu_res, 30)
+_projection_error = _type_error(_projection_res, 9)
+_projection_lin = _type_linearize(_projection_res, 9)
+_prior_point_error = _type_error(_prior_point_res, 3)
+_prior_point_lin = _type_linearize(_prior_point_res, 3)
 
 _prior_pose_error = _type_error(_prior_pose_res, 6)
 _between_error = _type_error(_between_res, 12)
@@ -335,6 +399,10 @@ def total_error(graph: FactorGraph, values: VariableArena):
         e += _plane_error(values, graph.plane)
     if graph.imu.i.shape[0]:
         e += _imu_error(values, graph.imu)
+    if graph.projection.pose_idx.shape[0]:
+        e += _projection_error(values, graph.projection)
+    if graph.prior_point.idx.shape[0]:
+        e += _prior_point_error(values, graph.prior_point)
     return e
 
 
@@ -390,6 +458,21 @@ def linearize_blocks(graph: FactorGraph, values: VariableArena):
             axis=-1,
         )
         blocks.append((r, J, cols))
+
+    if graph.projection.pose_idx.shape[0]:
+        r, J = _projection_lin(values, graph.projection)
+        cols = jnp.concatenate(
+            [
+                lay.pose_cols(graph.projection.pose_idx),
+                lay.point_cols(graph.projection.point_idx),
+            ],
+            axis=-1,
+        )
+        blocks.append((r, J, cols))
+
+    if graph.prior_point.idx.shape[0]:
+        r, J = _prior_point_lin(values, graph.prior_point)
+        blocks.append((r, J, lay.point_cols(graph.prior_point.idx)))
 
     return blocks
 
@@ -479,6 +562,36 @@ def empty_imu_table(cap, dtype=jnp.float64) -> ImuTable:
     )
 
 
+def empty_projection_table(cap, dtype=jnp.float64) -> ProjectionTable:
+    eyeR = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (cap, 3, 3))
+    cal = jnp.zeros((cap, 9), dtype)
+    if cap:
+        cal = cal.at[:, 0].set(1.0).at[:, 1].set(1.0)
+    return ProjectionTable(
+        pose_idx=jnp.zeros((cap,), jnp.int32),
+        point_idx=jnp.zeros((cap,), jnp.int32),
+        uv=jnp.zeros((cap, 2), dtype),
+        cal=cal,
+        body_R=eyeR,
+        body_t=jnp.zeros((cap, 3), dtype),
+        sqrt_info=jnp.zeros((cap, 2, 2), dtype),
+        robust_kind=jnp.zeros((cap,), jnp.int32),
+        robust_k=jnp.ones((cap,), dtype),
+        active=jnp.zeros((cap,), bool),
+    )
+
+
+def empty_prior_point(cap, dtype=jnp.float64) -> PriorPointTable:
+    return PriorPointTable(
+        idx=jnp.zeros((cap,), jnp.int32),
+        mean=jnp.zeros((cap, 3), dtype),
+        sqrt_info=jnp.zeros((cap, 3, 3), dtype),
+        robust_kind=jnp.zeros((cap,), jnp.int32),
+        robust_k=jnp.ones((cap,), dtype),
+        active=jnp.zeros((cap,), bool),
+    )
+
+
 def empty_graph(
     prior_pose_cap=0,
     between_cap=0,
@@ -486,6 +599,8 @@ def empty_graph(
     prior_bias_cap=0,
     plane_cap=0,
     imu_cap=0,
+    projection_cap=0,
+    prior_point_cap=0,
     dtype=jnp.float64,
 ) -> FactorGraph:
     return FactorGraph(
@@ -495,4 +610,6 @@ def empty_graph(
         prior_bias=empty_prior_vec6(prior_bias_cap, dtype),
         plane=empty_plane_table(plane_cap, dtype),
         imu=empty_imu_table(imu_cap, dtype),
+        projection=empty_projection_table(projection_cap, dtype),
+        prior_point=empty_prior_point(prior_point_cap, dtype),
     )

