@@ -39,7 +39,7 @@ class SlamParams:
     incremental: bool = True         # ISAM2-equivalent incremental updates
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class CameraIntrinsics:
     """Pinhole (+ radial distortion) camera model parameters.
 

@@ -1,0 +1,267 @@
+"""Offline plane-aided visual-inertial odometry — the flagship pipeline.
+
+Twin of ``test_vro_imu_graph`` (``/root/reference/gtsam/test_vro_imu_graph.cpp:78-382``,
+call stack SURVEY.md §3.2):
+
+  per VRO record, in file order:
+    - new frame  -> IMU window preintegration (one lax.scan) + NavState
+      prediction; VO BetweenFactor when the edge is valid (camera->IMU
+      conjugation); CombinedImuFactor(X,V,B: i-1 -> i); pose estimate from
+      VO composition when valid, else from the IMU prediction
+      (addNodeOffline + addToGTSAM(NavState), gtsam_graph.cpp:613-695);
+    - plane rescue when VO failed (``:205``): propagate the previous plane
+      set through the predicted pose, associate against the landmark window,
+      add OrientedPlane3 factors (plane_mode="rescue"); "always" adds plane
+      factors on every frame (the ba_imu variant), "off" disables planes;
+    - loop-closure edges replayed when both endpoints exist;
+    - incremental optimization every frame (ISAM2-equivalent warm-started
+      GN) or periodic batch LM;
+    - estimator feedback: optimized bias/state re-seed the next
+      preintegration window (``test_vro_imu_graph.cpp:344-350``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SlamParams
+from ..core import se3
+from ..graph import GraphBuilder, LMParams, lm_optimize, total_error
+from ..graph.lm import gn_optimize
+from ..imu import (
+    ImuParams,
+    ImuStream,
+    find_index_at,
+    init_preint,
+    integrate_segment,
+    predict_navstate,
+)
+from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
+from ..planes import (
+    PlaneLandmarkBook,
+    inflate_if_uncertain,
+    repair_plane_cov,
+    transform_plane_cov,
+)
+from .posegraph import _conjugate_edge
+
+__all__ = ["VioConfig", "VioResult", "run_vio"]
+
+
+@dataclasses.dataclass
+class VioConfig:
+    plane_mode: str = "rescue"        # "rescue" | "always" | "off"
+    optimize_step: int = 10            # incremental optimize cadence (frames)
+    incremental_iters: int = 2         # GN iters per incremental update
+    max_imu_window: int = 512          # padded preintegration window
+    final_batch: bool = True           # LM at the end (reference outputs)
+    feedback: bool = True              # bias/state re-seeding
+    bucket: int = 256
+
+
+@dataclasses.dataclass
+class VioResult:
+    values: object
+    graph: object
+    seq_ids: np.ndarray
+    error0: float
+    error: float
+    n_imu_factors: int
+    n_vo_edges: int
+    n_plane_factors: int
+    plane_book: Optional[PlaneLandmarkBook]
+
+
+def _pad_window(acc, gyr, n, dt_nom, max_window):
+    """Fixed-shape measurement window (masked rows have dt=0)."""
+    acc_p = np.zeros((max_window, 3))
+    gyr_p = np.zeros((max_window, 3))
+    dt_p = np.zeros(max_window)
+    k = min(n, max_window)
+    acc_p[:k] = acc[:k]
+    gyr_p[:k] = gyr[:k]
+    dt_p[:k] = dt_nom
+    return jnp.asarray(acc_p), jnp.asarray(gyr_p), jnp.asarray(dt_p)
+
+
+def run_vio(log: VROLog, img_times, imu: ImuStream,
+            imu_params: ImuParams, u2c: Optional[se3.Pose] = None,
+            plane_obs_provider: Optional[Callable] = None,
+            params: SlamParams = SlamParams(),
+            cfg: VioConfig = VioConfig(),
+            lm_params: LMParams = LMParams()) -> VioResult:
+    """Replay a VRO log with IMU (+ optional plane observations).
+
+    Args:
+      img_times: mapping seq_id -> timestamp (dict or callable).
+      plane_obs_provider: optional ``seq_id -> [(plane_cam4, cov3x3), ...]``
+        supplying per-frame plane observations in the camera frame (from
+        ``planes.extract_planes`` / ``planes.propagate_plane`` on real
+        frames, or synthetic in tests).
+    """
+    t_of = img_times.__getitem__ if hasattr(img_times, "__getitem__") \
+        else img_times
+    gravity = np.asarray(imu_params.gravity)
+    u2c_j = u2c if u2c is not None else se3.identity()
+
+    b = GraphBuilder()
+    book = PlaneLandmarkBook(lookback=params.lookback_nodes) \
+        if cfg.plane_mode != "off" else None
+
+    seq2graph: dict[int, int] = {}
+    seq_ids: list[int] = []
+    n_vo = n_imu = n_plane = 0
+
+    # estimator state (feedback loop)
+    prev_pose = se3.identity()
+    prev_vel = jnp.zeros(3)
+    prev_bias = jnp.zeros(6)
+    cur_imu_idx = 0  # measurement cursor relative to sync start
+
+    def first_node(seq):
+        nonlocal cur_imu_idx
+        gid = b.add_pose((np.eye(3), np.zeros(3)))
+        b.add_vel(np.zeros(3))
+        b.add_bias(np.zeros(6))
+        seq2graph[seq] = gid
+        seq_ids.append(seq)
+        b.add_prior_pose(gid, (np.eye(3), np.zeros(3)),
+                         sigmas=np.full(6, 1e-7))
+        b.add_prior_vel(gid, np.zeros(3), sigma=1e-3)
+        b.add_prior_bias(gid, np.zeros(6), sigma=1e-3)
+        imu.set_start_time(float(t_of(seq)))
+        cur_imu_idx = 0
+
+    def integrate_to(seq):
+        """Preintegrate [cur_imu_idx, index_at(t_img)) with current bias."""
+        nonlocal cur_imu_idx
+        t_img = float(t_of(seq))
+        nxt = find_index_at(imu.t, t_img, imu.start)
+        if nxt < 0:
+            nxt = len(imu.t) - imu.start - 1
+        i0, i1 = cur_imu_idx, max(nxt, cur_imu_idx)
+        acc, gyr = imu.window(i0, i1)
+        st = init_preint(prev_bias, imu_params)
+        a, g, dts = _pad_window(acc, gyr, i1 - i0, imu.dt,
+                                cfg.max_imu_window)
+        st = integrate_segment(st, a, g, dts, imu_params)
+        cur_imu_idx = nxt
+        return st
+
+    def add_plane_observations(gid, pose_body: se3.Pose, seq):
+        nonlocal n_plane
+        if book is None or plane_obs_provider is None:
+            return
+        for (plane_cam, cov3) in plane_obs_provider(seq):
+            plane_cam = jnp.asarray(plane_cam)
+            cov3 = np.asarray(cov3)
+            # camera -> body frame with tangent-Jacobian cov projection
+            pb, cb = transform_plane_cov(plane_cam, jnp.asarray(cov3),
+                                         se3.inverse(u2c_j))
+            trace_snv = float(np.trace(cov3[:2, :2]))
+            lid, is_new = book.associate(gid, np.asarray(pb), pose_body)
+            cb, accept = inflate_if_uncertain(np.asarray(cb), trace_snv,
+                                              is_new)
+            if not accept:
+                continue
+            S = repair_plane_cov(cb)
+            if is_new:
+                if len(b._planes) <= lid:
+                    b.add_plane(book.world[lid])
+            b.add_plane_factor(gid, lid, np.asarray(pb), covariance=S)
+            n_plane += 1
+
+    log_order = range(len(log))
+    for k in log_order:
+        id_to = int(log.id_to[k])
+        id_from = int(log.id_from[k])
+        info = log.info[k]
+        failed = info[0, 0] == FAILED_INFO_SENTINEL
+
+        if not seq2graph:
+            first_node(id_from)
+            prev_pose = se3.identity()
+            prev_vel = jnp.zeros(3)
+            prev_bias = jnp.zeros(6)
+
+        if id_from not in seq2graph:
+            continue
+        gi = seq2graph[id_from]
+
+        if id_to not in seq2graph:
+            # --- new frame ---------------------------------------------
+            st = integrate_to(id_to)
+            pred_pose, pred_vel = predict_navstate(
+                st, prev_pose, prev_vel, prev_bias, imu_params.gravity)
+
+            T, info_b = _conjugate_edge(log.xi[k], info, u2c)
+            gj = len(seq_ids)
+            if not failed:
+                est = se3.compose(prev_pose, T)
+            else:
+                est = pred_pose
+            b.add_pose((np.asarray(est.R), np.asarray(est.t)))
+            b.add_vel(np.asarray(pred_vel))
+            b.add_bias(np.asarray(prev_bias))
+            seq2graph[id_to] = gj
+            seq_ids.append(id_to)
+
+            if not failed:
+                b.add_between(gi, gj, (np.asarray(T.R), np.asarray(T.t)),
+                              information=info_b)
+                n_vo += 1
+            b.add_imu_factor(gi, gj, st, gravity)
+            n_imu += 1
+
+            want_planes = (cfg.plane_mode == "always"
+                           or (cfg.plane_mode == "rescue" and failed))
+            if want_planes:
+                add_plane_observations(gj, est, id_to)
+
+            if cfg.feedback:
+                prev_pose, prev_vel = est, pred_vel
+        else:
+            # --- loop closure -------------------------------------------
+            if failed:
+                continue
+            gj = seq2graph[id_to]
+            T, info_b = _conjugate_edge(log.xi[k], info, u2c)
+            b.add_between(gi, gj, (np.asarray(T.R), np.asarray(T.t)),
+                          information=info_b)
+            n_vo += 1
+
+        # --- periodic incremental optimization + feedback ---------------
+        if (cfg.feedback and len(seq_ids) % cfg.optimize_step == 0
+                and id_to not in (None,)):
+            graph, values = b.build(bucket=cfg.bucket)
+            res = gn_optimize(graph, values,
+                              iterations=cfg.incremental_iters,
+                              solver="dense", damping=1e-6)
+            j = len(seq_ids) - 1
+            prev_pose = se3.Pose(res.values.pose_R[j], res.values.pose_t[j])
+            prev_vel = res.values.vel[j]
+            prev_bias = res.values.bias[j]
+            # write back optimized estimates as new initial values
+            for q in range(len(seq_ids)):
+                b.set_pose(q, (np.asarray(res.values.pose_R[q]),
+                               np.asarray(res.values.pose_t[q])))
+                b._vels[q] = np.asarray(res.values.vel[q])
+                b._biases[q] = np.asarray(res.values.bias[q])
+
+    graph, values = b.build(bucket=cfg.bucket)
+    e0 = float(total_error(graph, values))
+    if cfg.final_batch:
+        res = lm_optimize(graph, values, lm_params)
+        values = res.values
+        err = float(res.error)
+    else:
+        err = e0
+
+    return VioResult(values=values, graph=graph,
+                     seq_ids=np.asarray(seq_ids), error0=e0, error=err,
+                     n_imu_factors=n_imu, n_vo_edges=n_vo,
+                     n_plane_factors=n_plane, plane_book=book)

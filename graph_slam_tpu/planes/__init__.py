@@ -1,3 +1,19 @@
 from . import oriented_plane
+from .association import (
+    PlaneLandmarkBook,
+    match_plane,
+    plane_to_world,
+    transform_plane_cov,
+)
+from .extraction import PlaneDetection, extract_planes, fit_plane_lsq
+from .propagation import PropagationResult, propagate_plane
+from .psd import inflate_if_uncertain, repair_plane_cov
 
-__all__ = ["oriented_plane"]
+__all__ = [
+    "oriented_plane",
+    "PlaneLandmarkBook", "match_plane", "plane_to_world",
+    "transform_plane_cov",
+    "PlaneDetection", "extract_planes", "fit_plane_lsq",
+    "PropagationResult", "propagate_plane",
+    "repair_plane_cov", "inflate_if_uncertain",
+]

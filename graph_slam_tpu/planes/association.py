@@ -1,0 +1,130 @@
+"""Plane landmark association and covariance plumbing for plane factors.
+
+Mirrors the reference's association/insertion pipeline:
+- candidate window = landmarks seen in the last 7 nodes
+  (``potentialPlaneNodes``, gtsam_graph.cpp:1300-1344);
+- match test: transform the world landmark into the observation frame,
+  normal-alignment cos(angle) >= cos(10 deg) AND |delta d| <= 0.2
+  (``planeNodeAssociation`` gtsam_graph.cpp:1398-1415, incl. the sign flip
+  when the normals face opposite ways);
+- unmatched observations allocate a new landmark whose world value is the
+  body-frame plane pushed through the inverse pose (addPlaneFactor
+  landmark creation, gtsam_graph.cpp:1196-1210);
+- covariance projection camera->IMU with the transform's tangent Jacobian
+  and the PSD repair chain (``psd.repair_plane_cov``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from . import oriented_plane
+from .psd import repair_plane_cov
+
+__all__ = ["PlaneLandmarkBook", "transform_plane_cov", "match_plane",
+           "plane_to_world"]
+
+
+@jax.jit
+def _transform_jacobian(plane, R, t):
+    """3x3 tangent Jacobian of ``oriented_plane.transform`` wrt the plane."""
+
+    def f(xi):
+        p = oriented_plane.retract(plane, xi)
+        out = oriented_plane.transform(p, R, t)
+        return oriented_plane.local(
+            oriented_plane.transform(plane, R, t), out)
+
+    return jax.jacfwd(f)(jnp.zeros(3, plane.dtype))
+
+
+def transform_plane_cov(plane, cov3, pose: se3.Pose):
+    """Push a plane + its (2+1) tangent covariance through a pose.
+
+    The addPlaneFactor projection ``S_upj = J S_upi J^T``
+    (gtsam_graph.cpp:1162) with J computed by autodiff on the chart.
+    """
+    J = _transform_jacobian(plane, pose.R, pose.t)
+    out = oriented_plane.transform(plane, pose.R, pose.t)
+    return out, J @ cov3 @ J.T
+
+
+def plane_to_world(plane_body, pose_world: se3.Pose):
+    """Body-frame plane -> world landmark: transform by the inverse pose."""
+    inv = se3.inverse(pose_world)
+    return oriented_plane.transform(plane_body, inv.R, inv.t)
+
+
+def match_plane(plane_obs, landmark_world_list, pose_world: se3.Pose,
+                cos_thresh: float = np.cos(10.0 * np.pi / 180.0),
+                d_thresh: float = 0.2):
+    """Return the index of the matching landmark or -1.
+
+    ``plane_obs`` is in the observation (body) frame; each candidate world
+    landmark is transformed into that frame and compared by normal angle
+    and distance offset, with the reference's sign-flip handling.
+    """
+    if len(landmark_world_list) == 0:
+        return -1
+    cands = jnp.stack(landmark_world_list)
+    pred = oriented_plane.transform(
+        cands, jnp.broadcast_to(pose_world.R, (len(landmark_world_list), 3, 3)),
+        jnp.broadcast_to(pose_world.t, (len(landmark_world_list), 3)))
+    ni = jnp.asarray(plane_obs)
+    cosa = pred[:, :3] @ ni[:3]
+    sign = jnp.where(cosa < 0, -1.0, 1.0)
+    cosa = cosa * sign
+    dd = jnp.abs(sign * ni[3] - pred[:, 3])
+    ok = (cosa >= cos_thresh) & (dd <= d_thresh)
+    score = jnp.where(ok, cosa, -jnp.inf)
+    best = int(jnp.argmax(score))
+    return best if bool(ok[best]) else -1
+
+
+@dataclasses.dataclass
+class PlaneLandmarkBook:
+    """Host-side landmark registry: ids, last-seen node, counts, window."""
+
+    lookback: int = 7
+
+    def __post_init__(self):
+        self.world: list[np.ndarray] = []      # initial world plane values
+        self.last_seen: list[int] = []
+        self.seen_count: list[int] = []
+        self.node_landmarks: dict[int, list[int]] = {}
+
+    def candidates(self, node_id: int) -> list[int]:
+        """Landmark ids observed in the last ``lookback`` nodes."""
+        out: list[int] = []
+        for nid in range(max(0, node_id - self.lookback), node_id + 1):
+            for lid in self.node_landmarks.get(nid, []):
+                if lid not in out:
+                    out.append(lid)
+        return out
+
+    def associate(self, node_id: int, plane_body, pose_world: se3.Pose,
+                  cos_thresh: float = np.cos(10.0 * np.pi / 180.0),
+                  d_thresh: float = 0.2) -> tuple[int, bool]:
+        """Return (landmark_id, is_new) for a body-frame observation."""
+        cand_ids = self.candidates(node_id)
+        cand_planes = [jnp.asarray(self.world[i]) for i in cand_ids]
+        m = match_plane(plane_body, cand_planes, pose_world,
+                        cos_thresh, d_thresh)
+        if m >= 0:
+            lid = cand_ids[m]
+            self.last_seen[lid] = node_id
+            self.seen_count[lid] += 1
+            self.node_landmarks.setdefault(node_id, []).append(lid)
+            return lid, False
+        lid = len(self.world)
+        w = np.asarray(plane_to_world(jnp.asarray(plane_body), pose_world))
+        self.world.append(w)
+        self.last_seen.append(node_id)
+        self.seen_count.append(1)
+        self.node_landmarks.setdefault(node_id, []).append(lid)
+        return lid, True

@@ -102,9 +102,7 @@ def ransac_rigid(key, pts_src, pts_dst, valid, n_hyp: int = 2048,
     probs = valid.astype(jnp.float32)
     probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
     samp = jax.random.categorical(
-        key, jnp.log(probs + 1e-30)[None, :].repeat(n_hyp, 0), axis=1,
-        shape=(n_hyp, 3),
-    )
+        key, jnp.log(probs + 1e-30), shape=(n_hyp, 3))
     src3 = pts_src[samp]                       # (n_hyp, 3, 3)
     dst3 = pts_dst[samp]
     w3 = jnp.ones((n_hyp, 3), pts_src.dtype)
