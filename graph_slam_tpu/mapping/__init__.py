@@ -1,0 +1,18 @@
+from .mesh import grid_triangulate, pcd_to_mesh, write_ply_mesh
+from .pointcloud import (
+    accumulate_cloud,
+    map_from_frames,
+    occupancy_denoise,
+    passthrough,
+    read_pcd,
+    voxel_filter,
+    write_pcd,
+)
+from .video import follow_camera_pose, incremental_map_video
+
+__all__ = [
+    "grid_triangulate", "pcd_to_mesh", "write_ply_mesh",
+    "accumulate_cloud", "map_from_frames", "occupancy_denoise",
+    "passthrough", "read_pcd", "voxel_filter", "write_pcd",
+    "follow_camera_pose", "incremental_map_video",
+]

@@ -4,6 +4,20 @@ from .posegraph import (
     run_pose_graph,
     trajectory_arrays,
 )
+from .vio import VioConfig, VioResult, run_vio
+from .ba_imu import BaImuConfig, BaImuResult, run_ba_imu
+from .online_slam import FrameStatus, OnlineSlam
+from .plane_check import (
+    check_vo_edges,
+    plane_pair_mahalanobis,
+    plane_set_consistency,
+)
 
-__all__ = ["PoseGraphResult", "build_pose_graph", "run_pose_graph",
-           "trajectory_arrays"]
+__all__ = [
+    "PoseGraphResult", "build_pose_graph", "run_pose_graph",
+    "trajectory_arrays",
+    "VioConfig", "VioResult", "run_vio",
+    "BaImuConfig", "BaImuResult", "run_ba_imu",
+    "FrameStatus", "OnlineSlam",
+    "check_vo_edges", "plane_pair_mahalanobis", "plane_set_consistency",
+]

@@ -1,0 +1,234 @@
+"""Online RGB-D SLAM: feature frontend + keyframing + loop closures.
+
+Twin of the reference's ONLINE pipeline (``test_gt_graph.cpp:38-130`` with
+``CGraphGT::addNode`` gtsam_graph.cpp:1670-1766, and the g2o variant
+``g2o/test_g2o_graph.cpp``):
+
+  frame -> feature extraction -> match vs previous keyframe
+    - small motion (t < 0.05 m AND theta < 3 deg)   -> drop frame
+    - large motion (t > 2 m OR theta > 20 deg)      -> reject as outlier
+    - match failure                                  -> fakeOdoNode
+      (identity edge, info 1e4*I gtsam / 1e-3*I g2o, gtsam_graph.cpp:697-722,
+       g2o_graph.cpp:151)
+    - else VO edge; then loop closures against the last ``lookback``
+      keyframes — the reference's QtConcurrent thread-pool map
+      (gtsam_graph.cpp:1730-1731) becomes one vmapped batch
+      (``match_one_to_many``) on device;
+  every ``optimize_step`` keyframes: batch LM; trajectory / PLY output.
+
+Optionally records every accepted edge to a ``vro_results.log``
+(``recordVROResult`` role) so offline pipelines can replay the run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraIntrinsics, SlamParams
+from ..core import se3, so3
+from ..graph import GraphBuilder, LMParams, lm_optimize, total_error
+from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog, write_vro_log
+from ..vision.features import FeatureFrame, extract_features
+from ..vision.frontend import match_frames_device, match_one_to_many
+
+__all__ = ["OnlineSlam", "FrameStatus"]
+
+
+class FrameStatus:
+    FIRST = "first"
+    KEYFRAME = "keyframe"
+    SMALL_MOTION = "small_motion"      # dropped, not a keyframe
+    FAILED = "failed"                   # fake odometry inserted
+
+
+def _motion_magnitude(R, t):
+    dist = float(np.linalg.norm(np.asarray(t)))
+    tr = float(np.trace(np.asarray(R)))
+    ang = math.degrees(math.acos(max(-1.0, min(1.0, (tr - 1.0) * 0.5))))
+    return dist, ang
+
+
+@dataclasses.dataclass
+class OnlineSlam:
+    """Stateful online SLAM session (CGraphGT + frontend roles)."""
+
+    cam: CameraIntrinsics
+    params: SlamParams = dataclasses.field(default_factory=SlamParams)
+    backend: str = "gtsam"            # "gtsam" | "g2o" (fake-odo weighting)
+    max_features: int = 256
+    n_hyp: int = 2048
+    inlier_thresh: float = 0.05
+    min_inliers: int = 12
+    seed: int = 0
+
+    def __post_init__(self):
+        self.builder = GraphBuilder()
+        self.frames: list[FeatureFrame] = []   # keyframe feature frames
+        self.seq_ids: list[int] = []
+        self.records: list[tuple] = []          # VRO log rows
+        self._key = jax.random.PRNGKey(self.seed)
+        self._values = None
+        self._n_since_opt = 0
+        self._sequence = 0
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    @property
+    def num_keyframes(self) -> int:
+        return len(self.frames)
+
+    def _fake_info(self):
+        scale = 1e4 if self.backend == "gtsam" else 1e-3
+        return np.eye(6) * scale
+
+    def _record(self, id_to, id_from, T, info):
+        xi = np.asarray(se3.logmap(se3.Pose(jnp.asarray(T[0]),
+                                            jnp.asarray(T[1]))))
+        self.records.append((id_to, id_from, xi, np.asarray(info)))
+
+    # ------------------------------------------------------------------
+    def process_frame(self, intensity, depth, seq_id: Optional[int] = None):
+        """Feed one RGB-D frame; returns a FrameStatus."""
+        if seq_id is None:
+            seq_id = self._sequence
+        self._sequence += 1
+        frame = extract_features(self.cam, jnp.asarray(intensity),
+                                 jnp.asarray(depth),
+                                 max_features=self.max_features)
+
+        if not self.frames:
+            self.builder.add_pose((np.eye(3), np.zeros(3)))
+            self.builder.add_prior_pose(0, (np.eye(3), np.zeros(3)),
+                                        sigmas=np.full(6, 1e-7))
+            self.frames.append(frame)
+            self.seq_ids.append(seq_id)
+            return FrameStatus.FIRST
+
+    # -- odometry match vs the previous keyframe -----------------------
+        prev = self.frames[-1]
+        R, t, info, n_inl, ok = match_frames_device(
+            self._next_key(), prev, frame, n_hyp=self.n_hyp,
+            inlier_thresh=self.inlier_thresh, min_inliers=self.min_inliers)
+
+        gi = len(self.frames) - 1
+        if not bool(ok) or not np.isfinite(np.asarray(info)).all():
+            # total failure -> fake odometry keyframe (fakeOdoNode)
+            gj = self.builder.add_pose(self.builder.pose(gi))
+            fake = self._fake_info()
+            self.builder.add_between(gi, gj, (np.eye(3), np.zeros(3)),
+                                     information=fake)
+            self._record(seq_id, self.seq_ids[-1], (np.eye(3), np.zeros(3)),
+                         np.eye(6) * FAILED_INFO_SENTINEL)
+            self.frames.append(frame)
+            self.seq_ids.append(seq_id)
+            self._after_keyframe()
+            return FrameStatus.FAILED
+
+        dist, ang = _motion_magnitude(R, t)
+        if dist < self.params.small_translation \
+                and ang < self.params.small_rotation:
+            return FrameStatus.SMALL_MOTION
+        if dist > self.params.large_translation \
+                or ang > self.params.large_rotation:
+            # outlier transform: treat like a failure (reference rejects it)
+            return FrameStatus.SMALL_MOTION
+
+        # accept keyframe + odometry edge
+        Ri, ti = self.builder.pose(gi)
+        est = se3.compose(se3.Pose(jnp.asarray(Ri), jnp.asarray(ti)),
+                          se3.Pose(R, t))
+        gj = self.builder.add_pose((np.asarray(est.R), np.asarray(est.t)))
+        self.builder.add_between(gi, gj, (np.asarray(R), np.asarray(t)),
+                                 information=np.asarray(info))
+        self._record(seq_id, self.seq_ids[-1],
+                     (np.asarray(R), np.asarray(t)), np.asarray(info))
+
+        # -- loop closures: one vmapped batch over the lookback window --
+        lb = min(self.params.lookback_nodes, gi)
+        if lb > 1:
+            cands = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *self.frames[gi - lb:gi])
+            Rs, ts, infos, ninls, oks = match_one_to_many(
+                self._next_key(), frame, cands, n_hyp=self.n_hyp,
+                inlier_thresh=self.inlier_thresh,
+                min_inliers=self.min_inliers)
+            for c in range(lb - 1):   # skip the immediate predecessor
+                ci = gi - lb + c
+                if not bool(oks[c]):
+                    continue
+                d, a = _motion_magnitude(Rs[c], ts[c])
+                if d > self.params.large_translation \
+                        or a > self.params.large_rotation:
+                    continue
+                if not np.isfinite(np.asarray(infos[c])).all():
+                    continue
+                self.builder.add_between(
+                    ci, gj, (np.asarray(Rs[c]), np.asarray(ts[c])),
+                    information=np.asarray(infos[c]))
+                self._record(seq_id, self.seq_ids[ci],
+                             (np.asarray(Rs[c]), np.asarray(ts[c])),
+                             np.asarray(infos[c]))
+
+        self.frames.append(frame)
+        self.seq_ids.append(seq_id)
+        self._after_keyframe()
+        return FrameStatus.KEYFRAME
+
+    # ------------------------------------------------------------------
+    def _after_keyframe(self):
+        self._n_since_opt += 1
+        if self._n_since_opt >= self.params.optimize_step:
+            self.optimize()
+
+    def optimize(self, lm_params: LMParams = LMParams()):
+        """Batch optimize and write estimates back (optimizeGraphBatch)."""
+        graph, values = self.builder.build()
+        res = lm_optimize(graph, values, lm_params)
+        self._values = res.values
+        for q in range(len(self.frames)):
+            self.builder.set_pose(q, (np.asarray(res.values.pose_R[q]),
+                                      np.asarray(res.values.pose_t[q])))
+        self._n_since_opt = 0
+        return float(res.error)
+
+    def error(self) -> float:
+        graph, values = self.builder.build()
+        return float(total_error(graph, values))
+
+    # -- outputs ---------------------------------------------------------
+    def trajectory(self, w2o: se3.Pose | None = None):
+        n = len(self.frames)
+        R = np.stack([self.builder.pose(k)[0] for k in range(n)])
+        t = np.stack([self.builder.pose(k)[1] for k in range(n)])
+        if w2o is not None:
+            P = se3.compose(
+                se3.Pose(jnp.broadcast_to(w2o.R, R.shape),
+                         jnp.broadcast_to(w2o.t, t.shape)),
+                se3.Pose(jnp.asarray(R), jnp.asarray(t)))
+            R, t = np.asarray(P.R), np.asarray(P.t)
+        q = np.asarray(so3.matrix_to_quat(jnp.asarray(R)))
+        return np.arange(n), t, q, np.asarray(self.seq_ids)
+
+    def vro_log(self) -> VROLog:
+        if not self.records:
+            return VROLog(np.zeros(0, int), np.zeros(0, int),
+                          np.zeros((0, 6)), np.zeros((0, 6, 6)))
+        return VROLog(
+            np.asarray([r[0] for r in self.records]),
+            np.asarray([r[1] for r in self.records]),
+            np.stack([r[2] for r in self.records]),
+            np.stack([r[3] for r in self.records]),
+        )
+
+    def save_vro_log(self, path: str):
+        write_vro_log(path, self.vro_log())

@@ -1,0 +1,15 @@
+from .vro_tools import (
+    add_vo_at_sparse_area,
+    compute_trans_difference,
+    convert_vo2ba,
+    delete_vo_by_plane_check,
+    merge_vro,
+    propose_sparse_area_edges,
+    void_edge,
+)
+
+__all__ = [
+    "add_vo_at_sparse_area", "compute_trans_difference", "convert_vo2ba",
+    "delete_vo_by_plane_check", "merge_vro", "propose_sparse_area_edges",
+    "void_edge",
+]

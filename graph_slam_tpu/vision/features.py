@@ -81,7 +81,7 @@ def harris_corners(img, max_features: int = 256, k: float = 0.04,
     return uv, score
 
 
-@partial(jax.jit, static_argnames=("max_features", "patch"))
+@partial(jax.jit, static_argnames=("K", "max_features", "patch"))
 def extract_features(K: CameraIntrinsics, intensity, depth,
                      max_features: int = 256, patch: int = 16,
                      min_response: float = 1e-6,

@@ -1,0 +1,114 @@
+"""Bundle-adjustment tests: projection factor, two-frame BA, Schur solver.
+
+The two-frame harness mirrors the reference's ``test_ba.cpp`` (VRO-vs-BA on
+a pair); the Schur solver is checked against the plain dense optimizer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import np_lie
+from graph_slam_tpu.config import SR4000
+from graph_slam_tpu.core import se3
+from graph_slam_tpu.graph import GraphBuilder, lm_optimize, total_error
+from graph_slam_tpu.graph.ba_solve import ba_gn_optimize
+from graph_slam_tpu.vision import TrackBook, two_frame_ba
+from graph_slam_tpu.vision.cal3ds2 import Cal3DS2, project_point
+
+
+def make_two_frame_scene(n_pts=40, noise_px=0.0, seed=0):
+    r = np.random.default_rng(seed)
+    cal = Cal3DS2.make(SR4000.fx, SR4000.fy, SR4000.cx, SR4000.cy,
+                       SR4000.k1, SR4000.k2)
+    pts = np.stack([r.uniform(-1, 1, n_pts), r.uniform(-0.8, 0.8, n_pts),
+                    r.uniform(1.5, 3.5, n_pts)], axis=1)
+    T_ij = np_lie.se3_exp(np.array([0.03, -0.05, 0.04, 0.12, -0.06, 0.08]))
+    # frame j sees the points through T_ij: p_j = T_ij^-1 p_i
+    Rj, tj = np_lie.inverse(T_ij)
+    pts_j = (Rj @ pts.T).T + tj
+    uv_i = np.asarray(project_point(cal, jnp.asarray(pts)))
+    uv_j = np.asarray(project_point(cal, jnp.asarray(pts_j)))
+    if noise_px:
+        uv_i += r.normal(size=uv_i.shape) * noise_px
+        uv_j += r.normal(size=uv_j.shape) * noise_px
+    return pts, uv_i, uv_j, SR4000, T_ij
+
+
+class TestTwoFrameBA:
+    def test_recovers_relative_pose(self):
+        pts, uv_i, uv_j, cal, T_gt = make_two_frame_scene()
+        T0 = np_lie.retract(T_gt, np.full(6, 0.02))  # perturbed init
+        (R, t), info, err = two_frame_ba(pts, uv_i, uv_j, cal, T0)
+        np.testing.assert_allclose(R, T_gt[0], atol=1e-5)
+        np.testing.assert_allclose(t, T_gt[1], atol=1e-4)
+        # information must be symmetric positive definite
+        assert np.linalg.eigvalsh(info).min() > 0
+        assert err < 1e-8
+
+    def test_information_grows_with_matches(self):
+        pts, uv_i, uv_j, cal, T_gt = make_two_frame_scene(n_pts=60)
+        _, info_many, _ = two_frame_ba(pts, uv_i, uv_j, cal, T_gt)
+        _, info_few, _ = two_frame_ba(pts[:15], uv_i[:15], uv_j[:15], cal,
+                                      T_gt)
+        assert np.trace(info_many) > np.trace(info_few)
+
+
+class TestTrackBook:
+    def test_merge_semantics(self):
+        tb = TrackBook()
+        ev = tb.merge(0, 1, [(0, 0), (1, 1)])
+        assert [e[0] for e in ev] == ["new", "new"]
+        ev = tb.merge(1, 2, [(0, 5), (1, 6)])
+        assert [e[0] for e in ev] == ["extend_j", "extend_j"]
+        assert tb.feature_qid[2][5] == 0
+        ev = tb.merge(0, 2, [(0, 5)])
+        assert ev[0] == ("seen", 0)
+
+
+class TestSchur:
+    def _make_ba_graph(self, n_poses=4, n_pts=30, seed=1):
+        r = np.random.default_rng(seed)
+        cal = SR4000
+        gt_poses = []
+        for k in range(n_poses):
+            xi = np.concatenate([r.normal(size=3) * 0.05,
+                                 [0.3 * k, 0.0, 0.0]])
+            gt_poses.append(np_lie.se3_exp(xi))
+        pts = np.stack([r.uniform(-1.5, 1.5, n_pts),
+                        r.uniform(-1, 1, n_pts),
+                        r.uniform(2, 4, n_pts)], axis=1)
+        calj = Cal3DS2.make(cal.fx, cal.fy, cal.cx, cal.cy, cal.k1, cal.k2)
+
+        b = GraphBuilder()
+        for k, (R, t) in enumerate(gt_poses):
+            if k == 0:
+                b.add_pose((R, t))
+            else:
+                b.add_pose(np_lie.retract((R, t), r.normal(size=6) * 0.02))
+        b.add_prior_pose(0, gt_poses[0], sigmas=np.full(6, 1e-7))
+        for q in range(n_pts):
+            b.add_point(pts[q] + r.normal(size=3) * 0.02)
+            b.add_prior_point(q, pts[q], sigma=0.1)
+        for k, (R, t) in enumerate(gt_poses):
+            Rt_inv = np_lie.inverse((R, t))
+            local = (Rt_inv[0] @ pts.T).T + Rt_inv[1]
+            uv = np.asarray(project_point(calj, jnp.asarray(local)))
+            for q in range(n_pts):
+                if local[q, 2] > 0.1:
+                    b.add_projection_factor(k, q, uv[q], cal, sigma=1.0)
+        return b.build(bucket=16), gt_poses, pts
+
+    def test_schur_matches_dense_lm(self):
+        (graph, values), gt_poses, pts = self._make_ba_graph()
+        vals_schur, err_schur = ba_gn_optimize(graph, values, iterations=10)
+        res = lm_optimize(graph, values)
+        assert err_schur < 1e-8
+        np.testing.assert_allclose(float(err_schur), float(res.error),
+                                   atol=1e-8)
+        for k, (R, t) in enumerate(gt_poses):
+            np.testing.assert_allclose(np.asarray(vals_schur.pose_t[k]), t,
+                                       atol=1e-5)
+        for q in range(len(pts)):
+            np.testing.assert_allclose(np.asarray(vals_schur.point[q]),
+                                       pts[q], atol=1e-4)
