@@ -1,0 +1,250 @@
+"""Command-line drivers — the reference's executable tier (SURVEY.md §2.4).
+
+One entry point with subcommands standing in for the reference's per-main
+executables + ROS launch files (params come from flags or a JSON config,
+``config.load_params``):
+
+  python -m graph_slam_tpu posegraph  --vro vro_results.log --out-dir out/
+      (test_gt_graph offline replay)
+  python -m graph_slam_tpu vio        --vro ... --imu imu.log --times t.txt
+      (test_vro_imu_graph)
+  python -m graph_slam_tpu convert    --vro ... --model cut --matches m.log
+      (convert_vo2ba)
+  python -m graph_slam_tpu merge      --ba a.log --vro b.log --matches m.log
+  python -m graph_slam_tpu diff       --log1 a.log --log2 b.log
+  python -m graph_slam_tpu map        --traj trajectory.log --out map.pcd
+      (mapping_PCD / mapping_PLY; needs an image provider module)
+  python -m graph_slam_tpu mesh       --pcd map.pcd --out mesh.ply
+  python -m graph_slam_tpu filter     --pcd map.pcd --out filtered.pcd
+  python -m graph_slam_tpu bench      (sphere2500 GN throughput)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_params(args):
+    from .config import SlamParams, load_params
+
+    if getattr(args, "config", None):
+        return load_params(args.config)
+    return SlamParams()
+
+
+def cmd_posegraph(args):
+    import jax.numpy as jnp
+
+    from .core import extrinsics
+    from .io import read_vro_log, write_trajectory, write_trajectory_ply
+    from .pipelines import run_pose_graph, trajectory_arrays
+
+    params = _load_params(args)
+    log = read_vro_log(args.vro)
+    u2c = extrinsics.camera_to_imu(args.pitch) if args.imu_frame else None
+    res = run_pose_graph(log, params, u2c=u2c)
+    print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
+          f"({res.iterations} LM iterations, {len(res.seq_ids)} nodes)")
+    os.makedirs(args.out_dir, exist_ok=True)
+    w2o = extrinsics.world_to_original(args.pitch)
+    ids, t, q, seq = trajectory_arrays(res.values, res.seq_ids, w2o=w2o)
+    write_trajectory(os.path.join(args.out_dir, "trajectory.log"),
+                     ids, t, q, seq)
+    write_trajectory_ply(os.path.join(args.out_dir, "trajectory.ply"), t)
+    print(f"wrote {args.out_dir}/trajectory.log, trajectory.ply")
+
+
+def cmd_vio(args):
+    from .core import extrinsics
+    from .imu import read_vn100_log, read_mems_log, vn100_params, mems_params
+    from .io import read_vro_log, write_trajectory
+    from .pipelines import trajectory_arrays
+    from .pipelines.vio import VioConfig, run_vio
+
+    params = _load_params(args)
+    log = read_vro_log(args.vro)
+    if args.imu_type == "vn100":
+        stream = read_vn100_log(args.imu)
+        iparams = vn100_params()
+    else:
+        stream = read_mems_log(args.imu)
+        iparams = mems_params()
+    times = {}
+    with open(args.times) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) >= 2:
+                times[int(tok[0])] = float(tok[1])
+    u2c = extrinsics.camera_to_imu(args.pitch)
+    cfg = VioConfig(plane_mode=args.plane_mode,
+                    optimize_step=params.optimize_step)
+    res = run_vio(log, times, stream, iparams, u2c=u2c, params=params,
+                  cfg=cfg)
+    print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
+          f"(vo={res.n_vo_edges} imu={res.n_imu_factors} "
+          f"plane={res.n_plane_factors})")
+    os.makedirs(args.out_dir, exist_ok=True)
+    w2o = extrinsics.world_to_original(args.pitch)
+    ids, t, q, seq = trajectory_arrays(res.values, res.seq_ids, w2o=w2o)
+    write_trajectory(os.path.join(args.out_dir, "trajectory.log"),
+                     ids, t, q, seq)
+    print(f"wrote {args.out_dir}/trajectory.log")
+
+
+def cmd_convert(args):
+    from .io import read_vro_log, write_vro_log
+    from .tools import convert_vo2ba
+
+    log = read_vro_log(args.vro)
+    counts = None
+    if args.matches:
+        counts = np.loadtxt(args.matches)[:, 2].astype(int)
+    out = convert_vo2ba(log, args.model, match_counts=counts,
+                        min_match_num=args.min_match_num)
+    path = args.out or f"{args.vro}_{args.model}"
+    write_vro_log(path, out)
+    print(f"wrote {path} ({int(out.valid.sum())}/{len(out)} valid edges)")
+
+
+def cmd_merge(args):
+    from .io import read_vro_log, write_vro_log
+    from .tools import merge_vro
+
+    counts = np.loadtxt(args.matches)[:, 2].astype(int)
+    out = merge_vro(read_vro_log(args.ba), read_vro_log(args.vro), counts,
+                    thresh=args.thresh)
+    write_vro_log(args.out, out)
+    print(f"wrote {args.out}")
+
+
+def cmd_diff(args):
+    from .io import read_vro_log
+    from .tools import compute_trans_difference
+
+    dt, dr = compute_trans_difference(read_vro_log(args.log1),
+                                      read_vro_log(args.log2))
+    print(f"edges={len(dt)} mean |dt|={np.nanmean(dt):.6f} m "
+          f"mean |dr|={np.nanmean(dr):.6f} rad "
+          f"max |dt|={np.nanmax(dt):.6f} max |dr|={np.nanmax(dr):.6f}")
+
+
+def cmd_mesh(args):
+    from .mapping import pcd_to_mesh, read_pcd
+
+    pts, _ = read_pcd(args.pcd)
+    verts, faces = pcd_to_mesh(pts, args.out, cell=args.cell,
+                               max_edge=args.max_edge)
+    print(f"wrote {args.out}: {len(verts)} vertices, {len(faces)} faces")
+
+
+def cmd_filter(args):
+    from .mapping import occupancy_denoise, passthrough, read_pcd, write_pcd
+
+    pts, cols = read_pcd(args.pcd)
+    if args.z_min is not None or args.z_max is not None:
+        lo = args.z_min if args.z_min is not None else -np.inf
+        hi = args.z_max if args.z_max is not None else np.inf
+        if cols is not None:
+            pts, cols = passthrough(pts, cols, lo=lo, hi=hi)
+        else:
+            pts = passthrough(pts, lo=lo, hi=hi)
+    if cols is not None:
+        pts, cols = occupancy_denoise(pts, cols, voxel=args.voxel,
+                                      min_neighbors=args.min_neighbors)
+    else:
+        pts = occupancy_denoise(pts, voxel=args.voxel,
+                                min_neighbors=args.min_neighbors)
+    write_pcd(args.out, pts, cols)
+    print(f"wrote {args.out} ({len(pts)} points)")
+
+
+def cmd_bench(args):
+    import bench  # repo-root benchmark
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="graph_slam_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("posegraph", help="offline pose-graph SLAM from a VRO log")
+    s.add_argument("--vro", required=True)
+    s.add_argument("--out-dir", default="out")
+    s.add_argument("--config", help="JSON SlamParams overrides")
+    s.add_argument("--pitch", type=float, default=0.0)
+    s.add_argument("--imu-frame", action="store_true",
+                   help="conjugate edges into the IMU frame (T_u2c)")
+    s.set_defaults(fn=cmd_posegraph)
+
+    s = sub.add_parser("vio", help="plane-aided VIO replay (VRO + IMU)")
+    s.add_argument("--vro", required=True)
+    s.add_argument("--imu", required=True)
+    s.add_argument("--imu-type", choices=["vn100", "mems"], default="vn100")
+    s.add_argument("--times", required=True,
+                   help="file of 'seq_id timestamp' lines")
+    s.add_argument("--plane-mode", choices=["rescue", "always", "off"],
+                   default="off")
+    s.add_argument("--out-dir", default="out")
+    s.add_argument("--config")
+    s.add_argument("--pitch", type=float, default=0.0)
+    s.set_defaults(fn=cmd_vio)
+
+    s = sub.add_parser("convert", help="rewrite a VRO log (ba/hybrid/cut)")
+    s.add_argument("--vro", required=True)
+    s.add_argument("--model", choices=["ba", "hybrid", "cut"], required=True)
+    s.add_argument("--matches", help="'id2 id1 num' lines (input_match.log)")
+    s.add_argument("--min-match-num", type=int, default=10)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("merge", help="merge BA and VRO logs by match count")
+    s.add_argument("--ba", required=True)
+    s.add_argument("--vro", required=True)
+    s.add_argument("--matches", required=True)
+    s.add_argument("--thresh", type=int, default=20)
+    s.add_argument("--out", default="vo_results_merge.log")
+    s.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("diff", help="difference of two VO logs")
+    s.add_argument("--log1", required=True)
+    s.add_argument("--log2", required=True)
+    s.set_defaults(fn=cmd_diff)
+
+    s = sub.add_parser("mesh", help="PCD -> triangle mesh PLY")
+    s.add_argument("--pcd", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--cell", type=float, default=0.05)
+    s.add_argument("--max-edge", type=float, default=0.15)
+    s.set_defaults(fn=cmd_mesh)
+
+    s = sub.add_parser("filter", help="denoise / passthrough a PCD")
+    s.add_argument("--pcd", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--voxel", type=float, default=0.05)
+    s.add_argument("--min-neighbors", type=int, default=3)
+    s.add_argument("--z-min", type=float)
+    s.add_argument("--z-max", type=float)
+    s.set_defaults(fn=cmd_filter)
+
+    s = sub.add_parser("bench", help="sphere2500 GN throughput benchmark")
+    s.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    import jax
+
+    # the estimators run in f64 (chi2 parity); benches manage dtype themselves
+    if args.cmd != "bench":
+        jax.config.update("jax_enable_x64", True)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,5 @@
 from .vro_log import VROLog, read_vro_log, write_vro_log, FAILED_INFO_SENTINEL
+from .frames import FrameStore, load_frame, save_frame
 from .trajectory import (
     Trajectory,
     read_g2o,
@@ -11,6 +12,7 @@ from .trajectory import (
 
 __all__ = [
     "VROLog", "read_vro_log", "write_vro_log", "FAILED_INFO_SENTINEL",
+    "FrameStore", "load_frame", "save_frame",
     "Trajectory", "read_trajectory", "write_trajectory", "write_ply_points",
     "write_trajectory_ply", "write_g2o", "read_g2o",
 ]

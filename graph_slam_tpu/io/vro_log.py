@@ -56,6 +56,23 @@ class VROLog:
 
 
 def read_vro_log(path: str) -> VROLog:
+    # fast path: native strtod parser (graph_slam_tpu.native)
+    try:
+        from .. import native
+
+        rows = native.parse_vro_log(path)
+    except Exception:
+        rows = None
+    if rows is not None:
+        n = len(rows)
+        info = np.zeros((n, 6, 6))
+        info[:, _TRIU[0], _TRIU[1]] = rows[:, 8:29]
+        info = info + np.swapaxes(info, 1, 2)
+        diag = np.arange(6)
+        info[:, diag, diag] *= 0.5
+        return VROLog(rows[:, 0].astype(int), rows[:, 1].astype(int),
+                      rows[:, 2:8].copy(), info)
+
     ids_to, ids_from, xis, infos = [], [], [], []
     with open(path) as f:
         tokens = f.read().split()

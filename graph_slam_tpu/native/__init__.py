@@ -1,0 +1,131 @@
+"""ctypes bindings for the native IO runtime (gst_native.cpp).
+
+Compiled on first import with the baked-in g++ (pybind11 is not available
+in this image; the library exposes a C ABI). Every entry point has a pure
+Python/numpy fallback, so the package works even without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+__all__ = ["available", "parse_vro_log", "write_vro_log",
+           "read_frame_u16", "read_frames_u16"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "gst_native.cpp")
+_LIB = None
+
+
+def _build() -> str | None:
+    out = os.path.join(tempfile.gettempdir(),
+                       f"gst_native_{os.getuid()}.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(_SRC):
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", out, _SRC, "-lpthread"],
+            check=True, capture_output=True, timeout=120)
+        return out
+    except Exception:
+        return None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = _build()
+    if path is None:
+        _LIB = False
+        return False
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        _LIB = False
+        return False
+    lib.gst_parse_vro_log.restype = ctypes.c_long
+    lib.gst_parse_vro_log.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long]
+    lib.gst_write_vro_log.restype = ctypes.c_long
+    lib.gst_write_vro_log.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long]
+    lib.gst_read_frame_u16.restype = ctypes.c_long
+    lib.gst_read_frame_u16.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_ushort)]
+    lib.gst_read_frames_u16.restype = ctypes.c_long
+    lib.gst_read_frames_u16.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_ushort), ctypes.c_long]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def parse_vro_log(path: str, max_records: int = 1 << 22):
+    """(n, 29) float64 array of VRO records, or None if native unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    # upper-bound record count by file size / minimal record length (~60 B)
+    try:
+        cap = min(max_records, max(os.path.getsize(path) // 40, 1))
+    except OSError:
+        return None
+    out = np.empty((cap, 29), np.float64)
+    n = lib.gst_parse_vro_log(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cap)
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def write_vro_log(path: str, data: np.ndarray) -> bool:
+    lib = _load()
+    if not lib:
+        return False
+    data = np.ascontiguousarray(data, np.float64)
+    n = lib.gst_write_vro_log(
+        path.encode(), data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(data))
+    return n == len(data)
+
+
+def read_frame_u16(path: str, w: int, h: int):
+    """(h, w) uint16 frame or None (native-unavailable / short read)."""
+    lib = _load()
+    if not lib:
+        return None
+    out = np.empty((h, w), np.uint16)
+    got = lib.gst_read_frame_u16(
+        path.encode(), w, h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)))
+    if got != w * h:
+        return None
+    return out
+
+
+def read_frames_u16(paths, w: int, h: int, n_threads: int = 8):
+    """(n, h, w) uint16 batch loaded with the pthread fan-out, or None."""
+    lib = _load()
+    if not lib:
+        return None
+    n = len(paths)
+    out = np.empty((n, h, w), np.uint16)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    fails = lib.gst_read_frames_u16(
+        arr, n, w, h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ushort)),
+        n_threads)
+    if fails != 0:
+        return None
+    return out

@@ -61,6 +61,11 @@ class VioConfig:
     final_batch: bool = True           # LM at the end (reference outputs)
     feedback: bool = True              # bias/state re-seeding
     bucket: int = 256
+    # chi2 IMU-vs-VRO rotation consistency gate: implemented but default-off,
+    # matching the reference (retained disabled, test_vro_imu_graph.cpp:677-782,
+    # threshold 40000 at :753, flag chi2_for_vro default false)
+    chi2_vro_gate: bool = False
+    chi2_threshold: float = 4e4
 
 
 @dataclasses.dataclass
@@ -199,6 +204,19 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
                 st, prev_pose, prev_vel, prev_bias, imu_params.gravity)
 
             T, info_b = _conjugate_edge(log.xi[k], info, u2c)
+
+            if cfg.chi2_vro_gate and not failed:
+                # rotation consistency: VO increment vs IMU prediction,
+                # whitened by the preintegrated rotation covariance
+                from ..core import so3 as _so3
+
+                R_imu = (prev_pose.R.T @ pred_pose.R)
+                e_R = np.asarray(_so3.logmap(jnp.asarray(T.R).T @ R_imu))
+                S_R = np.asarray(st.cov)[:3, :3] + np.eye(3) * 1e-12
+                chi2 = float(e_R @ np.linalg.solve(S_R, e_R))
+                if chi2 > cfg.chi2_threshold:
+                    failed = True   # reject the VO edge; IMU carries the pose
+
             gj = len(seq_ids)
             if not failed:
                 est = se3.compose(prev_pose, T)
