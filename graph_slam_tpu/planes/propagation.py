@@ -147,16 +147,16 @@ def propagate_plane(K: CameraIntrinsics, plane_i, S_ni, S_di, prev_mask,
     sm_u = smooth(jnp.roll(img, 1, axis=0))
     sm_d = smooth(jnp.roll(img, -1, axis=0))
 
-    def grow(mask, _):
-        grown = (
-            (jnp.roll(mask, 1, axis=1) & sm_l)
-            | (jnp.roll(mask, -1, axis=1) & sm_r)
-            | (jnp.roll(mask, 1, axis=0) & sm_u)
-            | (jnp.roll(mask, -1, axis=0) & sm_d)
-        )
-        return (mask | grown) & member, None
+    # region grow: one Pallas kernel (every iteration in VMEM) on TPU,
+    # XLA scan elsewhere — identical semantics, tested against each other
+    from .pallas_grow import region_grow_pallas, region_grow_xla
 
-    mask, _ = jax.lax.scan(grow, seed, None, length=grow_steps)
+    if jax.default_backend() == "tpu":
+        mask = region_grow_pallas(seed, member, sm_l, sm_r, sm_u, sm_d,
+                                  steps=grow_steps)
+    else:
+        mask = region_grow_xla(seed, member, sm_l, sm_r, sm_u, sm_d,
+                               steps=grow_steps)
 
     count = jnp.sum(mask)
     ok = count >= keep_ratio * prev_count

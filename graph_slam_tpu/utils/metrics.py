@@ -1,0 +1,59 @@
+"""Trajectory accuracy metrics: ATE RMSE with SE(3)/Sim(3)-style alignment.
+
+BASELINE.md's accuracy target is "ATE RMSE parity with the gtsam reference
+trajectory". Standard evaluation: rigidly align the estimate to the ground
+truth (closed-form Umeyama on the positions), then RMSE of the residual
+translations. Also provides RPE (relative pose error) over a fixed frame
+delta — the drift metric.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["align_umeyama", "ate_rmse", "rpe"]
+
+
+def align_umeyama(est: np.ndarray, gt: np.ndarray, with_scale: bool = False):
+    """Closed-form alignment est -> gt. Returns (R, t, s)."""
+    est = np.asarray(est, float)
+    gt = np.asarray(gt, float)
+    mu_e = est.mean(axis=0)
+    mu_g = gt.mean(axis=0)
+    E = est - mu_e
+    G = gt - mu_g
+    S = G.T @ E / len(est)
+    U, D, Vt = np.linalg.svd(S)
+    W = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        W[2, 2] = -1.0
+    R = U @ W @ Vt
+    if with_scale:
+        var_e = (E * E).sum() / len(est)
+        s = float(np.trace(np.diag(D) @ W) / var_e)
+    else:
+        s = 1.0
+    t = mu_g - s * R @ mu_e
+    return R, t, s
+
+
+def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True,
+             with_scale: bool = False) -> float:
+    """Absolute trajectory error RMSE over positions (N, 3)."""
+    est_t = np.asarray(est_t, float)
+    gt_t = np.asarray(gt_t, float)
+    if align:
+        R, t, s = align_umeyama(est_t, gt_t, with_scale)
+        est_t = (s * (R @ est_t.T)).T + t
+    d = est_t - gt_t
+    return float(np.sqrt((d * d).sum(axis=1).mean()))
+
+
+def rpe(est_t: np.ndarray, gt_t: np.ndarray, delta: int = 1) -> float:
+    """Relative (drift) error RMSE: per-delta displacement differences."""
+    est_t = np.asarray(est_t, float)
+    gt_t = np.asarray(gt_t, float)
+    de = est_t[delta:] - est_t[:-delta]
+    dg = gt_t[delta:] - gt_t[:-delta]
+    d = de - dg
+    return float(np.sqrt((d * d).sum(axis=1).mean()))

@@ -186,3 +186,23 @@ class TestGyroEuler:
         gyr = np.tile(bias, (50, 1))  # pure bias -> no motion after removal
         rpy = integrate_euler(jnp.asarray(gyr), 0.01, bias=jnp.asarray(est))
         assert float(jnp.abs(rpy[-1]).max()) < 1e-4
+
+
+class TestMetrics:
+    def test_ate_zero_for_aligned_copy(self):
+        r = np.random.default_rng(9)
+        from graph_slam_tpu.utils import ate_rmse, rpe
+        gt = np.cumsum(r.normal(size=(50, 3)) * 0.1, axis=0)
+        # rigidly transformed estimate: ATE after alignment ~ 0
+        R = np_lie.so3_exp([0.2, -0.1, 0.5])
+        est = (R @ gt.T).T + np.array([1.0, -2.0, 0.5])
+        assert ate_rmse(est, gt) < 1e-12
+        assert ate_rmse(est, gt, align=False) > 1.0
+
+    def test_ate_scales_with_noise(self):
+        r = np.random.default_rng(10)
+        from graph_slam_tpu.utils import ate_rmse
+        gt = np.cumsum(r.normal(size=(80, 3)) * 0.1, axis=0)
+        e1 = ate_rmse(gt + r.normal(size=gt.shape) * 0.01, gt)
+        e2 = ate_rmse(gt + r.normal(size=gt.shape) * 0.1, gt)
+        assert 0 < e1 < e2
