@@ -27,8 +27,8 @@ BASELINE_G2O_ITERS_PER_SEC = 2.0
 
 N_POSES = 2500
 EDGES_PER_POSE = 4.0
-ITERS_PER_CALL = 10
-N_CALLS = 5
+ITERS_PER_CALL = 50
+N_CALLS = 2
 PCG_ITERS = 25
 
 
@@ -43,7 +43,7 @@ def main():
 
     def call(v):
         return gn_optimize(graph, v, iterations=ITERS_PER_CALL,
-                           solver="pcg", damping=1e-4, pcg_iters=PCG_ITERS)
+                           solver="pcg", damping=1e-3, pcg_iters=PCG_ITERS)
 
     # warm up / compile. NOTE: no other program may run between this and the
     # timed loop — executing a different compiled program (even a cheap

@@ -8,11 +8,12 @@ from .trajectory import (
     write_ply_points,
     write_trajectory,
     write_trajectory_ply,
+    write_graph_summary,
 )
 
 __all__ = [
     "VROLog", "read_vro_log", "write_vro_log", "FAILED_INFO_SENTINEL",
     "FrameStore", "load_frame", "save_frame",
     "Trajectory", "read_trajectory", "write_trajectory", "write_ply_points",
-    "write_trajectory_ply", "write_g2o", "read_g2o",
+    "write_trajectory_ply", "write_g2o", "read_g2o", "write_graph_summary",
 ]

@@ -151,3 +151,54 @@ def read_g2o(path: str):
                 info = info + info.T - np.diag(np.diag(info))
                 edges.append((i, j, t, np.array([qw, qx, qy, qz]), info))
     return vertices, edges
+
+
+def write_graph_summary(path: str, graph, values) -> None:
+    """Human-readable factor-graph dump (``CGraphGT::writeGTSAM`` role,
+    gtsam_graph.cpp:160-171): per-table active counts and rows."""
+    import numpy as _np
+
+    def rows(name, tab, fmt):
+        n = int(_np.asarray(tab.active).sum())
+        lines = [f"# {name}: {n} active / {tab.active.shape[0]} capacity"]
+        act = _np.asarray(tab.active)
+        for k in _np.nonzero(act)[0]:
+            lines.append(fmt(int(k)))
+        return lines
+
+    out = []
+    g = graph
+    if g.prior_pose.idx.shape[0]:
+        out += rows("PriorFactor<Pose3>", g.prior_pose,
+                    lambda k: f"prior_pose X({int(g.prior_pose.idx[k])})")
+    if g.between.i.shape[0]:
+        out += rows("BetweenFactor<Pose3>", g.between,
+                    lambda k: f"between X({int(g.between.i[k])}) "
+                              f"-> X({int(g.between.j[k])})")
+    if g.prior_vel.idx.shape[0]:
+        out += rows("PriorFactor<Vector3>", g.prior_vel,
+                    lambda k: f"prior_vel V({int(g.prior_vel.idx[k])})")
+    if g.prior_bias.idx.shape[0]:
+        out += rows("PriorFactor<Bias>", g.prior_bias,
+                    lambda k: f"prior_bias B({int(g.prior_bias.idx[k])})")
+    if g.plane.pose_idx.shape[0]:
+        out += rows("OrientedPlane3Factor", g.plane,
+                    lambda k: f"plane X({int(g.plane.pose_idx[k])}) "
+                              f"-> L({int(g.plane.plane_idx[k])})")
+    if g.imu.i.shape[0]:
+        out += rows("CombinedImuFactor", g.imu,
+                    lambda k: f"imu (X,V,B)({int(g.imu.i[k])}) -> "
+                              f"(X,V,B)({int(g.imu.j[k])})")
+    if g.projection.pose_idx.shape[0]:
+        out += rows("GenericProjectionFactor", g.projection,
+                    lambda k: f"proj X({int(g.projection.pose_idx[k])}) "
+                              f"-> Q({int(g.projection.point_idx[k])})")
+    if g.prior_point.idx.shape[0]:
+        out += rows("PriorFactor<Point3>", g.prior_point,
+                    lambda k: f"prior_point Q({int(g.prior_point.idx[k])})")
+    out.append(f"# variables: poses={int(values.num_poses)} "
+               f"vels={int(values.num_vels)} biases={int(values.num_biases)} "
+               f"planes={int(values.num_planes)} "
+               f"points={int(values.num_points)}")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
