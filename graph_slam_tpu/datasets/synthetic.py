@@ -94,3 +94,74 @@ def make_sphere_graph(n_poses: int = 2500, edges_per_pose: float = 4.0,
 
     graph, values = b.build(bucket=bucket)
     return graph, values, (Rs, ts)
+
+
+def make_ba_graph(n_poses: int = 100, n_points: int = 10000,
+                  obs_per_point: int = 4, pixel_noise: float = 0.5,
+                  init_noise: float = 0.05, seed: int = 0,
+                  dtype=jnp.float32, bucket: int = 256,
+                  cal=None):
+    """10k-landmark bundle-adjustment stress problem (BASELINE.json config).
+
+    Cameras on an arc looking at a point cloud; each landmark observed from
+    ``obs_per_point`` nearby cameras through a Cal3DS2 projection.
+    Returns (graph, values, (gt_poses_Rt, gt_points)).
+    """
+    from ..config import SR4000
+
+    cal = cal or SR4000
+    r = np.random.default_rng(seed)
+
+    def project_np(local):
+        # numpy Cal3DS2 projection (vectorized construction-time helper)
+        z = np.maximum(local[:, 2], 1e-6)
+        x = local[:, 0] / z
+        y = local[:, 1] / z
+        r2 = x * x + y * y
+        g = 1.0 + cal.k1 * r2 + cal.k2 * r2 * r2
+        dx = 2 * cal.p1 * x * y + cal.p2 * (r2 + 2 * x * x)
+        dy = 2 * cal.p2 * x * y + cal.p1 * (r2 + 2 * y * y)
+        px = g * x + dx
+        py = g * y + dy
+        return np.stack([cal.fx * px + cal.cx, cal.fy * py + cal.cy], axis=1)
+
+    # camera arc, all looking roughly at the cloud center
+    Rs, ts = [], []
+    for k in range(n_poses):
+        ang = 0.5 * np.sin(2 * np.pi * k / n_poses)
+        Rk = _so3_exp(np.array([0.0, ang, 0.0]))
+        tk = np.array([2.0 * k / n_poses, 0.1 * np.sin(4 * np.pi * k / n_poses), 0.0])
+        Rs.append(Rk)
+        ts.append(tk)
+    pts = np.stack([r.uniform(-2, 4, n_points), r.uniform(-2, 2, n_points),
+                    r.uniform(3.0, 8.0, n_points)], axis=1)
+
+    b = GraphBuilder(dtype=dtype)
+    for k in range(n_poses):
+        if k == 0 or init_noise == 0:
+            b.add_pose((Rs[k], ts[k]))
+        else:
+            dR = _so3_exp(r.normal(size=3) * init_noise * 0.3)
+            b.add_pose((Rs[k] @ dR, ts[k] + r.normal(size=3) * init_noise))
+    b.add_prior_pose(0, (Rs[0], ts[0]), sigmas=np.full(6, 1e-6))
+
+    for q in range(n_points):
+        b.add_point(pts[q] + r.normal(size=3) * init_noise)
+        b.add_prior_point(q, pts[q], sigma=0.1)
+
+    # observations: each point seen from obs_per_point cameras around a
+    # deterministic anchor; projections computed vectorized per offset
+    anchors = r.integers(0, n_poses, size=n_points)
+    Rs_a = np.stack(Rs)
+    ts_a = np.stack(ts)
+    for o in range(obs_per_point):
+        cams = (anchors + o * 3) % n_poses
+        local = np.einsum("qji,qj->qi", Rs_a[cams], pts - ts_a[cams])
+        vis = local[:, 2] >= 0.3
+        uv = project_np(local) + r.normal(size=(n_points, 2)) * pixel_noise
+        for q in np.nonzero(vis)[0]:
+            b.add_projection_factor(int(cams[q]), int(q), uv[q], cal,
+                                    sigma=1.0)
+
+    graph, values = b.build(bucket=bucket)
+    return graph, values, ((Rs, ts), pts)

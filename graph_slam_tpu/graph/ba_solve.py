@@ -11,6 +11,12 @@ is two large matmuls (MXU) plus a batched 3x3 block inverse — exactly the
 shape accelerators like. Point blocks ``L`` are segment-sums of per-factor
 3x3 outer products. Used by the BA+IMU pipeline and the 10k-landmark
 stress benchmark.
+
+Precision note: the reduction cancels catastrophically in pure f32, so it
+runs in f64 when x64 is enabled (CPU/offline parity runs). On f32-only
+accelerator runs prefer the matrix-free PCG path (``gn_optimize(solver=
+"pcg")``) — its Hessian-vector products never form the cancelling
+difference and stay f32-stable.
 """
 
 from __future__ import annotations
@@ -103,24 +109,35 @@ def schur_gn_step(graph: FactorGraph, values: VariableArena, damping):
         g_q = g_q.at[qidx].add(jnp.einsum("fei,fe->fi", J, r))
         Lblk = Lblk.at[qidx].add(jnp.einsum("fei,fej->fij", J, J))
 
+    # The Schur reduction S = A - U L^-1 U^T cancels catastrophically in
+    # f32 (both terms are ~1e10-1e13 for pixel-whitened BA while S itself
+    # is orders smaller), so the reduction and the reduced solve run in
+    # f64 regardless of the arena dtype. The heavy per-factor work above
+    # stays in the arena dtype; only (Dp, 3Pq)-sized operands upcast.
+    rd = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    U64 = U.astype(rd)
+    A64 = A.astype(rd)
+    gq64 = g_q.astype(rd)
+    gp64 = g_p.astype(rd)
+
     # batched 3x3 inverse of the point blocks
-    Linv = jnp.linalg.inv(Lblk)
+    Linv = jnp.linalg.inv(Lblk.astype(rd))
 
     # S = A - U L^-1 U^T via (Dp, Pq, 3) einsums -> MXU matmuls
-    WL = jnp.einsum("dqi,qij->dqj", U, Linv)
-    S = A - jnp.einsum("dqj,eqj->de", WL, U)
+    WL = jnp.einsum("dqi,qij->dqj", U64, Linv)
+    S = A64 - jnp.einsum("dqj,eqj->de", WL, U64)
 
-    Lg = jnp.einsum("qij,qj->qi", Linv, g_q)
-    rhs = -(g_p - jnp.einsum("dqj,qj->d", U, Lg))
+    Lg = jnp.einsum("qij,qj->qi", Linv, gq64)
+    rhs = -(gp64 - jnp.einsum("dqj,qj->d", U64, Lg))
     Lc = jnp.linalg.cholesky(S)
     y = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
     dp = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
 
     # back-substitute the landmarks
-    Ut_dp = jnp.einsum("dqj,d->qj", U, dp)
-    dq = -jnp.einsum("qij,qj->qi", Linv, g_q + Ut_dp).reshape(-1)
+    Ut_dp = jnp.einsum("dqj,d->qj", U64, dp)
+    dq = -jnp.einsum("qij,qj->qi", Linv, gq64 + Ut_dp).reshape(-1)
 
-    delta = jnp.concatenate([dp, dq])
+    delta = jnp.concatenate([dp, dq]).astype(dtype)
     return retract_all(values, delta)
 
 

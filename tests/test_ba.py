@@ -112,3 +112,23 @@ class TestSchur:
         for q in range(len(pts)):
             np.testing.assert_allclose(np.asarray(vals_schur.point[q]),
                                        pts[q], atol=1e-4)
+
+
+class TestBaStress:
+    def test_ba_graph_schur_converges(self):
+        """Scaled-down 10k-landmark stress config (BASELINE.json):
+        Schur-eliminated GN must collapse chi2 by >1e4x."""
+        from graph_slam_tpu.datasets import make_ba_graph
+
+        graph, values, (gt_poses, gt_pts) = make_ba_graph(
+            n_poses=12, n_points=400, obs_per_point=4, seed=3, pixel_noise=0.0,
+            dtype=jnp.float64, bucket=64)
+        e0 = float(total_error(graph, values))
+        vals, err = ba_gn_optimize(graph, values, iterations=8,
+                                   damping=1e-4)
+        assert float(err) < 1e-4 * e0
+        # pose trajectory recovered
+        Rs, ts = gt_poses
+        for k in range(12):
+            np.testing.assert_allclose(np.asarray(vals.pose_t[k]), ts[k],
+                                       atol=5e-3)
