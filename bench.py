@@ -29,7 +29,7 @@ N_POSES = 2500
 EDGES_PER_POSE = 4.0
 ITERS_PER_CALL = 50
 N_CALLS = 2
-PCG_ITERS = 25
+PCG_ITERS = 10
 
 
 def main():

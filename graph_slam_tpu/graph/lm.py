@@ -97,10 +97,26 @@ def _solvers(blocks, mask, params: LMParams, inc: Incidence | None = None):
         # form on TPU v5e for sphere2500)
         pre = [(jnp.einsum("fei,fej->fij", J, J), cols)
                for r, J, cols in blocks]
-        d0 = jnp.zeros_like(mask)
-        for JtJ, cols in pre:
-            diag = jnp.einsum("fii->fi", JtJ)
-            d0 = d0.at[cols].add(diag)
+
+        # 3x3-aligned block-Jacobi preconditioner: every variable tangent in
+        # the layout is a multiple of 3 wide at a 3-aligned offset, so the
+        # aligned 3x3 diagonal blocks of H capture the omega/v blocks of
+        # each pose and the full point/plane/vel blocks — far stronger than
+        # the scalar diagonal for SE(3) and BA conditioning.
+        D = mask.shape[0]
+        nblk = D // 3
+
+        def blkdiag_with(lam):
+            base = lam * jnp.ones_like(mask) + (1.0 - mask)
+            Bd = jnp.zeros((nblk, 3, 3), mask.dtype)
+            eye3 = jnp.eye(3, dtype=mask.dtype)
+            Bd = Bd + base.reshape(nblk, 3)[:, :, None] * eye3
+            for JtJ, cols in pre:
+                td = cols.shape[1]
+                for p0 in range(0, td, 3):
+                    bid = cols[:, p0] // 3
+                    Bd = Bd.at[bid].add(JtJ[:, p0:p0 + 3, p0:p0 + 3])
+            return Bd
 
         def hvp_with(lam):
             def hvp(v):
@@ -113,9 +129,14 @@ def _solvers(blocks, mask, params: LMParams, inc: Incidence | None = None):
             return hvp
 
         def solve_fn(lam):
-            M = d0 + lam * jnp.ones_like(mask) + (1.0 - mask)
-            return solve.solve_pcg(hvp_with(lam), g, M, params.pcg_iters,
-                                   params.pcg_tol)
+            Minv = jnp.linalg.inv(blkdiag_with(lam))
+
+            def apply_precond(r):
+                return jnp.einsum("bij,bj->bi", Minv,
+                                  r.reshape(nblk, 3)).reshape(-1)
+
+            return solve.solve_pcg_precond(hvp_with(lam), g, apply_precond,
+                                           params.pcg_iters)
 
         hvp0 = hvp_with(0.0)
 

@@ -58,3 +58,26 @@ def solve_pcg(hvp, g, precond_diag, max_iters: int = 250, tol: float = 1e-10):
     state = (x0, b, z0, z0, jnp.sum(b * z0))
     x, *_ = jax.lax.fori_loop(0, max_iters, body, state)
     return x
+
+
+def solve_pcg_precond(hvp, g, apply_precond, max_iters: int = 250):
+    """PCG with a general preconditioner application (block-Jacobi etc.)."""
+    b = -g
+
+    def body(_, state):
+        x, r, z, p, rz = state
+        Ap = hvp(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-300)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        p = z + beta * p
+        return (x, r, z, p, rz_new)
+
+    x0 = jnp.zeros_like(b)
+    z0 = apply_precond(b)
+    state = (x0, b, z0, z0, jnp.sum(b * z0))
+    x, *_ = jax.lax.fori_loop(0, max_iters, body, state)
+    return x
