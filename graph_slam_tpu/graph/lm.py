@@ -160,8 +160,6 @@ def _solvers(blocks, mask, params: LMParams, inc: Incidence | None = None):
 
         return solve_fn, hmul, g
 
-        return solve_fn, hmul, g
-
     raise ValueError(f"unknown solver {params.solver!r}")
 
 

@@ -28,7 +28,9 @@ from typing import Callable, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import SlamParams
+import jax
+
+from ..config import CameraIntrinsics, SlamParams
 from ..core import se3
 from ..graph import GraphBuilder, LMParams, lm_optimize, total_error
 from ..graph.lm import gn_optimize
@@ -43,7 +45,9 @@ from ..imu import (
 from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
 from ..planes import (
     PlaneLandmarkBook,
+    extract_plane_node,
     inflate_if_uncertain,
+    predict_plane_node,
     repair_plane_cov,
     transform_plane_cov,
 )
@@ -66,6 +70,14 @@ class VioConfig:
     # threshold 40000 at :753, flag chi2_for_vro default false)
     chi2_vro_gate: bool = False
     chi2_threshold: float = 4e4
+    # robust kernel on VO between-factors ("huber" enables gtsam-style
+    # Huber(k=1.345) downweighting of corrupted loop closures)
+    robust: Optional[str] = None
+    robust_k: float = 1.345
+    # frames-driven plane extraction (CPlaneNode::extractPlanes params)
+    max_planes: int = 4
+    min_plane_support: int = 300
+    seed: int = 0
 
 
 @dataclasses.dataclass
@@ -96,6 +108,8 @@ def _pad_window(acc, gyr, n, dt_nom, max_window):
 def run_vio(log: VROLog, img_times, imu: ImuStream,
             imu_params: ImuParams, u2c: Optional[se3.Pose] = None,
             plane_obs_provider: Optional[Callable] = None,
+            frames: Optional[Callable] = None,
+            intrinsics: Optional[CameraIntrinsics] = None,
             params: SlamParams = SlamParams(),
             cfg: VioConfig = VioConfig(),
             lm_params: LMParams = LMParams()) -> VioResult:
@@ -104,21 +118,40 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
     Args:
       img_times: mapping seq_id -> timestamp (dict or callable).
       plane_obs_provider: optional ``seq_id -> [(plane_cam4, cov3x3), ...]``
-        supplying per-frame plane observations in the camera frame (from
-        ``planes.extract_planes`` / ``planes.propagate_plane`` on real
-        frames, or synthetic in tests).
+        supplying per-frame plane observations in the camera frame
+        (synthetic injection, used by tests).
+      frames: optional ``seq_id -> (intensity, depth_m) | None`` frame
+        source (e.g. ``io.frames.FrameStore``). When given (with
+        ``intrinsics``), the plane stack runs end-to-end from real frames:
+        node 0 planes are extracted and registered (``firstPlaneNode``,
+        gtsam_graph.cpp:1102-1115); on VO failure the previous node's
+        planes are propagated through the IMU-predicted pose
+        (``predictPlaneNode``) with fresh extraction of the uncovered
+        cloud, landmark ids carried, and plane factors inserted — the
+        reference's plane rescue of tracking loss
+        (test_vro_imu_graph.cpp:205-300).
     """
     t_of = img_times.__getitem__ if hasattr(img_times, "__getitem__") \
         else img_times
     gravity = np.asarray(imu_params.gravity)
     u2c_j = u2c if u2c is not None else se3.identity()
+    u2c_arg = u2c  # None means identity; predict_plane_node skips conjugation
+    if frames is not None and intrinsics is None:
+        raise ValueError("frames mode requires camera intrinsics")
+    robust_k = cfg.robust_k if cfg.robust == "huber" else None
 
     b = GraphBuilder()
     book = PlaneLandmarkBook(lookback=params.lookback_nodes) \
         if cfg.plane_mode != "off" else None
+    rng = [jax.random.PRNGKey(cfg.seed)]
+
+    def next_key():
+        rng[0], sub = jax.random.split(rng[0])
+        return sub
 
     seq2graph: dict[int, int] = {}
     seq_ids: list[int] = []
+    plane_nodes: dict[int, object] = {}   # graph id -> PlaneNodeDetection|None
     n_vo = n_imu = n_plane = 0
 
     # estimator state (feedback loop)
@@ -140,6 +173,18 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
         b.add_prior_bias(gid, np.zeros(6), sigma=1e-3)
         imu.set_start_time(float(t_of(seq)))
         cur_imu_idx = 0
+        # firstPlaneNode: register node-0 planes as landmarks
+        # (gtsam_graph.cpp:1102-1115; driver test_vro_imu_graph.cpp:135-146)
+        if frames is not None and book is not None:
+            fr = frames(seq)
+            if fr is not None:
+                det = extract_plane_node(
+                    next_key(), intrinsics, fr[0], fr[1],
+                    max_planes=cfg.max_planes,
+                    min_support=cfg.min_plane_support)
+                if det is not None:
+                    insert_detection(gid, se3.identity(), det)
+                    plane_nodes[gid] = det
 
     def integrate_to(seq):
         """Preintegrate [cur_imu_idx, index_at(t_img)) with current bias."""
@@ -157,28 +202,74 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
         cur_imu_idx = nxt
         return st
 
-    def add_plane_observations(gid, pose_body: se3.Pose, seq):
+    def insert_plane_obs(gid, pose_body: se3.Pose, plane_cam, cov3,
+                         lid: int = -1, trace_extra: float = 0.0) -> int:
+        """Camera-frame plane observation -> landmark id + plane factor.
+
+        ``lid >= 0`` skips geometric association (the id was carried by
+        plane propagation); returns the landmark id or -1 when the
+        observation is rejected by the trace gate (addPlaneFactor,
+        gtsam_graph.cpp:1196-1233).
+        """
         nonlocal n_plane
+        plane_cam = jnp.asarray(plane_cam)
+        cov3 = np.asarray(cov3)
+        # camera -> body frame with tangent-Jacobian cov projection
+        pb, cb = transform_plane_cov(plane_cam, jnp.asarray(cov3),
+                                     se3.inverse(u2c_j))
+        trace_snv = float(np.trace(cov3[:2, :2])) + trace_extra
+        if lid >= 0:
+            book.observe(gid, lid)
+            is_new = False
+        else:
+            lid, is_new = book.associate(gid, np.asarray(pb), pose_body)
+        cb, accept = inflate_if_uncertain(np.asarray(cb), trace_snv, is_new)
+        if not accept:
+            return -1
+        S = repair_plane_cov(cb)
+        if is_new and len(b._planes) <= lid:
+            b.add_plane(book.world[lid])
+        b.add_plane_factor(gid, lid, np.asarray(pb), covariance=S)
+        n_plane += 1
+        return lid
+
+    def add_plane_observations(gid, pose_body: se3.Pose, seq):
         if book is None or plane_obs_provider is None:
             return
         for (plane_cam, cov3) in plane_obs_provider(seq):
-            plane_cam = jnp.asarray(plane_cam)
-            cov3 = np.asarray(cov3)
-            # camera -> body frame with tangent-Jacobian cov projection
-            pb, cb = transform_plane_cov(plane_cam, jnp.asarray(cov3),
-                                         se3.inverse(u2c_j))
-            trace_snv = float(np.trace(cov3[:2, :2]))
-            lid, is_new = book.associate(gid, np.asarray(pb), pose_body)
-            cb, accept = inflate_if_uncertain(np.asarray(cb), trace_snv,
-                                              is_new)
-            if not accept:
-                continue
-            S = repair_plane_cov(cb)
-            if is_new:
-                if len(b._planes) <= lid:
-                    b.add_plane(book.world[lid])
-            b.add_plane_factor(gid, lid, np.asarray(pb), covariance=S)
-            n_plane += 1
+            insert_plane_obs(gid, pose_body, plane_cam, cov3)
+
+    def insert_detection(gid, pose_body: se3.Pose, det,
+                         trace_extra: float = 0.0):
+        """Add factors for a PlaneNodeDetection, associating unassigned
+        planes and writing the resolved landmark ids back (the driver's
+        addPlaneFactor / planeNodeAssociation split,
+        test_vro_imu_graph.cpp:256-283)."""
+        for p in range(len(det)):
+            lid = int(det.landmark_ids[p])
+            got = insert_plane_obs(gid, pose_body, det.params[p],
+                                   det.cov[p], lid=lid,
+                                   trace_extra=trace_extra)
+            if got >= 0:
+                det.landmark_ids[p] = got
+
+    def plane_node_for(gid, pose_body: se3.Pose, seq,
+                       trace_extra: float = 0.0):
+        """Previous node's plane set, lazily extracted from its frame when
+        the node carried none (test_vro_imu_graph.cpp:218-233)."""
+        det = plane_nodes.get(gid)
+        if det is not None or frames is None:
+            return det
+        fr = frames(seq)
+        if fr is None:
+            return None
+        det = extract_plane_node(next_key(), intrinsics, fr[0], fr[1],
+                                 max_planes=cfg.max_planes,
+                                 min_support=cfg.min_plane_support)
+        if det is not None:
+            insert_detection(gid, pose_body, det, trace_extra)
+            plane_nodes[gid] = det
+        return det
 
     log_order = range(len(log))
     for k in log_order:
@@ -230,7 +321,7 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
 
             if not failed:
                 b.add_between(gi, gj, (np.asarray(T.R), np.asarray(T.t)),
-                              information=info_b)
+                              information=info_b, robust=robust_k)
                 n_vo += 1
             b.add_imu_factor(gi, gj, st, gravity)
             n_imu += 1
@@ -239,6 +330,34 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
                            or (cfg.plane_mode == "rescue" and failed))
             if want_planes:
                 add_plane_observations(gj, est, id_to)
+                if frames is not None and book is not None:
+                    # frames-driven plane rescue (test_vro_imu_graph.cpp:
+                    # 205-300): propagate the previous node's planes through
+                    # the IMU-predicted relative pose, carry landmark ids,
+                    # extract fresh planes on the uncovered cloud.
+                    S_pose = np.asarray(st.cov)[:6, :6]
+                    trace_simu = float(np.trace(S_pose[:3, :3]))
+                    pre_det = plane_node_for(gi, prev_pose, id_from,
+                                             trace_extra=trace_simu)
+                    fr = frames(id_to)
+                    cur_det = None
+                    if fr is not None:
+                        if pre_det is not None:
+                            T_body = se3.between(prev_pose, est)
+                            cur_det = predict_plane_node(
+                                next_key(), intrinsics, pre_det, T_body,
+                                S_pose, fr[0], fr[1], u2c=u2c_arg,
+                                max_new_planes=cfg.max_planes,
+                                min_support=cfg.min_plane_support)
+                        else:
+                            cur_det = extract_plane_node(
+                                next_key(), intrinsics, fr[0], fr[1],
+                                max_planes=cfg.max_planes,
+                                min_support=cfg.min_plane_support)
+                    if cur_det is not None:
+                        insert_detection(gj, est, cur_det,
+                                         trace_extra=trace_simu)
+                    plane_nodes[gj] = cur_det
 
             if cfg.feedback:
                 prev_pose, prev_vel = est, pred_vel
@@ -249,12 +368,11 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
             gj = seq2graph[id_to]
             T, info_b = _conjugate_edge(log.xi[k], info, u2c)
             b.add_between(gi, gj, (np.asarray(T.R), np.asarray(T.t)),
-                          information=info_b)
+                          information=info_b, robust=robust_k)
             n_vo += 1
 
         # --- periodic incremental optimization + feedback ---------------
-        if (cfg.feedback and len(seq_ids) % cfg.optimize_step == 0
-                and id_to not in (None,)):
+        if cfg.feedback and len(seq_ids) % cfg.optimize_step == 0:
             graph, values = b.build(bucket=cfg.bucket)
             res = gn_optimize(graph, values,
                               iterations=cfg.incremental_iters,

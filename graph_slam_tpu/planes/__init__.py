@@ -6,6 +6,11 @@ from .association import (
     transform_plane_cov,
 )
 from .extraction import PlaneDetection, extract_planes, fit_plane_lsq
+from .plane_node import (
+    PlaneNodeDetection,
+    extract_plane_node,
+    predict_plane_node,
+)
 from .propagation import PropagationResult, propagate_plane
 from .psd import inflate_if_uncertain, repair_plane_cov
 
@@ -14,6 +19,7 @@ __all__ = [
     "PlaneLandmarkBook", "match_plane", "plane_to_world",
     "transform_plane_cov",
     "PlaneDetection", "extract_planes", "fit_plane_lsq",
+    "PlaneNodeDetection", "extract_plane_node", "predict_plane_node",
     "PropagationResult", "propagate_plane",
     "repair_plane_cov", "inflate_if_uncertain",
 ]

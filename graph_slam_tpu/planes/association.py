@@ -32,15 +32,29 @@ __all__ = ["PlaneLandmarkBook", "transform_plane_cov", "match_plane",
 
 @jax.jit
 def _transform_jacobian(plane, R, t):
-    """3x3 tangent Jacobian of ``oriented_plane.transform`` wrt the plane."""
+    """3x3 tangent Jacobian of ``oriented_plane.transform`` wrt the plane.
 
-    def f(xi):
-        p = oriented_plane.retract(plane, xi)
-        out = oriented_plane.transform(p, R, t)
-        return oriented_plane.local(
-            oriented_plane.transform(plane, R, t), out)
+    Analytic form (cross-checked against autodiff in
+    ``tests/test_planes.py``): with B = basis(n), B' = basis(R^T n),
+    a tangent perturbation (xi_n, xi_d) maps to
 
-    return jax.jacfwd(f)(jnp.zeros(3, plane.dtype))
+        xi'_n = B'^T R^T B xi_n        (normal chart-to-chart rotation)
+        xi'_d = t^T B xi_n + xi_d      (d' = d + n . t)
+
+    Autodiff through the sphere logmap NaNs at the zero tangent in f32
+    (coincident normals), so the closed form is also the robust one.
+    """
+    n = plane[..., :3]
+    B = oriented_plane.basis(n)
+    n_out = jnp.einsum("...ji,...j->...i", R, n)
+    B_out = oriented_plane.basis(n_out)
+    Jn = jnp.einsum("...ia,...ji,...jb->...ab", B_out, R, B)   # (2, 2)
+    Jd = jnp.einsum("...i,...ib->...b", t, B)                   # (2,)
+    dtype = plane.dtype
+    top = jnp.concatenate([Jn, jnp.zeros(Jn.shape[:-1] + (1,), dtype)], -1)
+    bot = jnp.concatenate([Jd, jnp.ones(Jd.shape[:-1] + (1,), dtype)],
+                          -1)[..., None, :]
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def transform_plane_cov(plane, cov3, pose: se3.Pose):
@@ -106,6 +120,13 @@ class PlaneLandmarkBook:
                 if lid not in out:
                     out.append(lid)
         return out
+
+    def observe(self, node_id: int, lid: int) -> None:
+        """Record a re-observation of a known landmark (propagation-carried
+        ids skip the geometric match, gtsam_graph.cpp:1030-1035)."""
+        self.last_seen[lid] = node_id
+        self.seen_count[lid] += 1
+        self.node_landmarks.setdefault(node_id, []).append(lid)
 
     def associate(self, node_id: int, plane_body, pose_world: se3.Pose,
                   cos_thresh: float = np.cos(10.0 * np.pi / 180.0),

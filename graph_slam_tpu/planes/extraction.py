@@ -128,7 +128,7 @@ def extract_planes(key, pts, valid, max_planes: int = 4, n_hyp: int = 512,
         m = (point_plane_dist(plane, pts) < dist_thresh) & remaining
         plane = fit_plane_lsq(pts, m)
         m = (point_plane_dist(plane, pts) < dist_thresh) & remaining
-        cnt = jnp.sum(m)
+        cnt = jnp.sum(m).astype(jnp.int32)
         ok = cnt >= min_support
         cov = plane_tangent_cov(plane, pts, m, sigma_z)
 

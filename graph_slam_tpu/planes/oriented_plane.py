@@ -92,10 +92,13 @@ def local(plane_a, plane_b):
     B = basis(na)
     cos_t = jnp.clip(jnp.sum(na * nb, axis=-1), -1.0, 1.0)
     theta = jnp.arccos(jnp.where(jnp.abs(cos_t) > 1.0 - 1e-12, jnp.sign(cos_t) * (1.0 - 1e-12), cos_t))
-    # component of nb orthogonal to na
+    # component of nb orthogonal to na; the squared-norm double-where keeps
+    # the derivative of ||perp|| finite at perp = 0 (coincident normals
+    # round to cos_t == 1 exactly in f32, where sqrt'(0) would NaN)
     perp = nb - cos_t[..., None] * na
-    pn = jnp.linalg.norm(perp, axis=-1)
-    scale = jnp.where(pn > 1e-12, theta / jnp.where(pn > 1e-12, pn, 1.0), 1.0)
+    pn2 = jnp.sum(perp * perp, axis=-1)
+    pn = jnp.sqrt(jnp.where(pn2 > 1e-24, pn2, 1.0))
+    scale = jnp.where(pn2 > 1e-24, theta / pn, 1.0)
     w = scale[..., None] * perp
     v = jnp.einsum("...ij,...i->...j", B, w)
     return jnp.concatenate([v, (b[..., 3] - a[..., 3])[..., None]], axis=-1)

@@ -106,9 +106,10 @@ def propagate_plane(K: CameraIntrinsics, plane_i, S_ni, S_di, prev_mask,
       plane_i: (4,) plane in the previous camera frame.
       S_ni / S_di: normal covariance (3,3) and distance variance.
       prev_mask: (H, W) bool — the plane's pixels in the previous frame.
-      T_ij: predicted relative pose (previous <- current? see below) in the
-        camera frame: ``p_prev = T_ij * p_cur`` convention, i.e. the pose of
-        the current frame expressed in the previous frame.
+      T_ij: predicted relative pose in the camera frame — the pose of the
+        current frame expressed in the previous frame, so
+        ``p_prev = T_ij * p_cur`` (matches the reference's
+        ``pose->transform_to(pi)`` usage, gtsam_graph.cpp:957).
       S_tij: (3,3) translation covariance of the prediction.
       intensity/depth: current frame (H, W); depth in meters.
     """

@@ -218,6 +218,30 @@ class TestPsdAndAssociation:
         lid3, new3 = book.associate(20, pb, X0)
         assert new3
 
+    def test_transform_jacobian_matches_autodiff(self):
+        """Analytic chart-to-chart Jacobian == jacfwd through retract/local
+        (checked in f64 where the sphere logmap derivative is benign)."""
+        from graph_slam_tpu.planes.association import _transform_jacobian
+
+        r = np.random.default_rng(11)
+        for _ in range(5):
+            n = r.normal(size=3)
+            n /= np.linalg.norm(n)
+            plane = jnp.asarray(np.concatenate([n, [r.uniform(0.5, 3)]]))
+            Rt = np_lie.se3_exp(r.normal(size=6) * 0.5)
+            R, t = jnp.asarray(Rt[0]), jnp.asarray(Rt[1])
+
+            def f(xi):
+                p = oriented_plane.retract(plane, xi)
+                out = oriented_plane.transform(p, R, t)
+                return oriented_plane.local(
+                    oriented_plane.transform(plane, R, t), out)
+
+            J_ad = jax.jacfwd(f)(jnp.zeros(3, plane.dtype))
+            J_an = _transform_jacobian(plane, R, t)
+            np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad),
+                                       atol=1e-7)
+
     def test_transform_cov_jacobian_consistency(self):
         r = np.random.default_rng(5)
         plane = jnp.array([0.0, 0.6, 0.8, 1.2])
