@@ -546,12 +546,17 @@ def empty_plane_table(cap, dtype=jnp.float64) -> PlaneTable:
 
 
 def empty_imu_table(cap, dtype=jnp.float64) -> ImuTable:
-    eyeR = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (cap, 3, 3))
-    z33 = jnp.zeros((cap, 3, 3), dtype)
+    eyeR = jnp.tile(jnp.eye(3, dtype=dtype), (cap, 1, 1))
+
+    # distinct buffers per field: the online engine donates the whole table
+    # to its row writer, and XLA rejects aliased donated arguments
+    def z33():
+        return jnp.zeros((cap, 3, 3), dtype)
+
     return ImuTable(
         i=jnp.zeros((cap,), jnp.int32), j=jnp.zeros((cap,), jnp.int32),
         dR=eyeR, dp=jnp.zeros((cap, 3), dtype), dv=jnp.zeros((cap, 3), dtype),
-        H_R_bg=z33, H_p_ba=z33, H_p_bg=z33, H_v_ba=z33, H_v_bg=z33,
+        H_R_bg=z33(), H_p_ba=z33(), H_p_bg=z33(), H_v_ba=z33(), H_v_bg=z33(),
         bias_hat=jnp.zeros((cap, 6), dtype),
         dt=jnp.ones((cap,), dtype),
         gravity=jnp.zeros((cap, 3), dtype),

@@ -240,14 +240,27 @@ def lm_optimize(graph: FactorGraph, values: VariableArena,
 def gn_optimize(graph: FactorGraph, values: VariableArena,
                 iterations: int = 10, solver: str = "dense",
                 damping: float = 0.0, pcg_iters: int = 250,
-                inc: Incidence | None = None) -> LMResult:
+                inc: Incidence | None = None,
+                update_mask=None) -> LMResult:
     """Plain Gauss–Newton with a fixed trip count — the throughput benchmark
-    unit ("GN-iteration throughput" target in BASELINE.md)."""
+    unit ("GN-iteration throughput" target in BASELINE.md).
+
+    ``update_mask`` (optional, (tangent_dim,)) freezes variables: Jacobian
+    columns of masked-out slots are zeroed before assembly, so their delta
+    solves to exactly 0 and the step is Gauss–Newton on the free subset with
+    frozen variables as constants — the fixed-lag boundary of the online
+    engine (``graph.online``).
+    """
     params = LMParams(solver=solver, pcg_iters=pcg_iters)
 
     def body(vals, _):
         blocks = linearize_blocks(graph, vals)
         mask = used_slot_mask(vals)
+        if update_mask is not None:
+            um = update_mask.astype(mask.dtype)
+            mask = mask * um
+            blocks = [(r, J * um[cols][:, None, :], cols)
+                      for r, J, cols in blocks]
         solve_fn, _, _ = _solvers(blocks, mask, params, inc)
         delta = solve_fn(jnp.asarray(damping, vals.pose_t.dtype))
         return retract_all(vals, delta), None

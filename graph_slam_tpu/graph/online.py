@@ -17,17 +17,23 @@ algorithm, which is hostile to static dataflow.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import se3
 from .factors import FactorGraph, total_error
-from .variables import VariableArena
+from .variables import VariableArena, layout_of
 from .lm import LMParams, lm_optimize, gn_optimize
 
-__all__ = ["OnlineCounts", "OnlineGraph", "IncrementalOptimizer"]
+__all__ = ["OnlineCounts", "OnlineGraph", "IncrementalOptimizer",
+           "window_graph"]
+
+# factor-table field order used for window starts/caps
+_TABLES = ("prior_pose", "between", "prior_vel", "prior_bias", "plane",
+           "imu", "projection", "prior_point")
 
 
 class OnlineCounts(NamedTuple):
@@ -45,71 +51,56 @@ def _zero_counts() -> OnlineCounts:
 
 
 # ---------------------------------------------------------------------------
-# jitted appenders (functional: return updated pytrees)
+# jitted appenders (functional: return the updated TABLE, which is donated
+# so XLA writes the row in place; donating only the touched table avoids
+# zero-size-buffer aliasing across the rest of the pytree)
 
 
-@jax.jit
-def _append_between(graph: FactorGraph, slot, i, j, R, t, sqrt_info):
-    tb = graph.between
-    tb = tb._replace(
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_between(tb, slot, i, j, R, t, sqrt_info, robust_kind, robust_k):
+    return tb._replace(
         i=tb.i.at[slot].set(i), j=tb.j.at[slot].set(j),
         meas_R=tb.meas_R.at[slot].set(R), meas_t=tb.meas_t.at[slot].set(t),
         sqrt_info=tb.sqrt_info.at[slot].set(sqrt_info),
+        robust_kind=tb.robust_kind.at[slot].set(robust_kind),
+        robust_k=tb.robust_k.at[slot].set(robust_k),
         active=tb.active.at[slot].set(True),
     )
-    return graph._replace(between=tb)
 
 
-@jax.jit
-def _append_prior_pose(graph: FactorGraph, slot, idx, R, t, sqrt_info):
-    tb = graph.prior_pose
-    tb = tb._replace(
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_prior_pose(tb, slot, idx, R, t, sqrt_info):
+    return tb._replace(
         idx=tb.idx.at[slot].set(idx),
         mean_R=tb.mean_R.at[slot].set(R), mean_t=tb.mean_t.at[slot].set(t),
         sqrt_info=tb.sqrt_info.at[slot].set(sqrt_info),
         active=tb.active.at[slot].set(True),
     )
-    return graph._replace(prior_pose=tb)
 
 
-@jax.jit
-def _append_prior_vel(graph: FactorGraph, slot, idx, mean, sqrt_info):
-    tb = graph.prior_vel
-    tb = tb._replace(
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_prior_vec(tb, slot, idx, mean, sqrt_info):
+    """Shared by the vel (3d) and bias (6d) prior tables."""
+    return tb._replace(
         idx=tb.idx.at[slot].set(idx), mean=tb.mean.at[slot].set(mean),
         sqrt_info=tb.sqrt_info.at[slot].set(sqrt_info),
         active=tb.active.at[slot].set(True),
     )
-    return graph._replace(prior_vel=tb)
 
 
-@jax.jit
-def _append_prior_bias(graph: FactorGraph, slot, idx, mean, sqrt_info):
-    tb = graph.prior_bias
-    tb = tb._replace(
-        idx=tb.idx.at[slot].set(idx), mean=tb.mean.at[slot].set(mean),
-        sqrt_info=tb.sqrt_info.at[slot].set(sqrt_info),
-        active=tb.active.at[slot].set(True),
-    )
-    return graph._replace(prior_bias=tb)
-
-
-@jax.jit
-def _append_plane_factor(graph: FactorGraph, slot, pose_idx, plane_idx, meas,
-                         sqrt_info):
-    tb = graph.plane
-    tb = tb._replace(
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_plane_factor(tb, slot, pose_idx, plane_idx, meas, sqrt_info):
+    return tb._replace(
         pose_idx=tb.pose_idx.at[slot].set(pose_idx),
         plane_idx=tb.plane_idx.at[slot].set(plane_idx),
         meas=tb.meas.at[slot].set(meas),
         sqrt_info=tb.sqrt_info.at[slot].set(sqrt_info),
         active=tb.active.at[slot].set(True),
     )
-    return graph._replace(plane=tb)
 
 
-@jax.jit
-def _append_imu(graph: FactorGraph, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_imu(tb, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
                 H_p_bg, H_v_ba, H_v_bg, bias_hat, dt, gravity, cov):
     """Whitening (inverse Cholesky of the 15x15 covariance) runs on device."""
     C = 0.5 * (cov + cov.T)
@@ -117,8 +108,7 @@ def _append_imu(graph: FactorGraph, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
     S = jax.scipy.linalg.solve_triangular(
         L, jnp.eye(15, dtype=cov.dtype), lower=True
     )
-    tb = graph.imu
-    tb = tb._replace(
+    return tb._replace(
         i=tb.i.at[slot].set(i), j=tb.j.at[slot].set(j),
         dR=tb.dR.at[slot].set(dR), dp=tb.dp.at[slot].set(dp),
         dv=tb.dv.at[slot].set(dv),
@@ -133,40 +123,19 @@ def _append_imu(graph: FactorGraph, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
         sqrt_info=tb.sqrt_info.at[slot].set(S),
         active=tb.active.at[slot].set(True),
     )
-    return graph._replace(imu=tb)
 
 
-@jax.jit
-def _set_pose(values: VariableArena, idx, R, t, bump):
-    return values._replace(
-        pose_R=values.pose_R.at[idx].set(R),
-        pose_t=values.pose_t.at[idx].set(t),
-        num_poses=jnp.maximum(values.num_poses, idx.astype(jnp.int32) + bump),
-    )
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _set_pose(pose_R, pose_t, num, idx, R, t, bump):
+    return (pose_R.at[idx].set(R), pose_t.at[idx].set(t),
+            jnp.maximum(num, idx.astype(jnp.int32) + bump))
 
 
-@jax.jit
-def _set_vel(values: VariableArena, idx, v, bump):
-    return values._replace(
-        vel=values.vel.at[idx].set(v),
-        num_vels=jnp.maximum(values.num_vels, idx.astype(jnp.int32) + bump),
-    )
-
-
-@jax.jit
-def _set_bias(values: VariableArena, idx, b, bump):
-    return values._replace(
-        bias=values.bias.at[idx].set(b),
-        num_biases=jnp.maximum(values.num_biases, idx.astype(jnp.int32) + bump),
-    )
-
-
-@jax.jit
-def _set_plane(values: VariableArena, idx, p, bump):
-    return values._replace(
-        plane=values.plane.at[idx].set(p),
-        num_planes=jnp.maximum(values.num_planes, idx.astype(jnp.int32) + bump),
-    )
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _set_vec(arr, num, idx, v, bump):
+    """Shared by vel/bias/plane value rows (any trailing width)."""
+    return (arr.at[idx].set(v),
+            jnp.maximum(num, idx.astype(jnp.int32) + bump))
 
 
 class OnlineGraph:
@@ -190,26 +159,41 @@ class OnlineGraph:
 
     # -- variables ------------------------------------------------------
     def set_pose(self, idx: int, pose: se3.Pose, new: bool = True):
-        self.values = _set_pose(self.values, jnp.asarray(idx), pose.R, pose.t,
-                                jnp.asarray(1 if new else 0, jnp.int32))
+        dt = self.values.pose_t.dtype
+        R, t, num = _set_pose(
+            self.values.pose_R, self.values.pose_t, self.values.num_poses,
+            jnp.asarray(idx), jnp.asarray(pose.R, dt), jnp.asarray(pose.t, dt),
+            jnp.asarray(1 if new else 0, jnp.int32))
+        self.values = self.values._replace(pose_R=R, pose_t=t, num_poses=num)
         if new:
             self.num_poses = max(self.num_poses, idx + 1)
 
+    def _set_vec_field(self, field: str, count_field: str, idx, v, new):
+        dt = self.values.pose_t.dtype
+        arr, num = _set_vec(getattr(self.values, field),
+                            getattr(self.values, count_field),
+                            jnp.asarray(idx), jnp.asarray(v, dt),
+                            jnp.asarray(1 if new else 0, jnp.int32))
+        self.values = self.values._replace(**{field: arr, count_field: num})
+
     def set_vel(self, idx: int, v, new: bool = True):
-        self.values = _set_vel(self.values, jnp.asarray(idx), jnp.asarray(v),
-                               jnp.asarray(1 if new else 0, jnp.int32))
+        self._set_vec_field("vel", "num_vels", idx, v, new)
         if new:
             self.num_vels = max(self.num_vels, idx + 1)
 
     def set_bias(self, idx: int, b, new: bool = True):
-        self.values = _set_bias(self.values, jnp.asarray(idx), jnp.asarray(b),
-                                jnp.asarray(1 if new else 0, jnp.int32))
+        self._set_vec_field("bias", "num_biases", idx, b, new)
         if new:
             self.num_biases = max(self.num_biases, idx + 1)
 
     def set_plane(self, idx: int, p, new: bool = True):
-        self.values = _set_plane(self.values, jnp.asarray(idx), jnp.asarray(p),
-                                 jnp.asarray(1 if new else 0, jnp.int32))
+        # keep the OrientedPlane3 invariant ||n|| == 1 exactly: an almost-
+        # unit measurement normal puts an irreducible floor on the sphere
+        # chart residual (cos theta can never reach 1), which LM cannot
+        # optimize away (GraphBuilder normalizes identically)
+        p = np.asarray(p, np.float64)
+        p = p / np.linalg.norm(p[:3])
+        self._set_vec_field("plane", "num_planes", idx, p, new)
         if new:
             self.num_planes = max(self.num_planes, idx + 1)
 
@@ -225,41 +209,63 @@ class OnlineGraph:
 
     def add_prior_pose(self, idx, pose: se3.Pose, sqrt_info):
         s = self._slot("prior_pose", self.graph.prior_pose.idx.shape[0])
-        self.graph = _append_prior_pose(
-            self.graph, jnp.asarray(s), jnp.asarray(idx), pose.R, pose.t,
-            jnp.asarray(sqrt_info))
+        dt = self.values.pose_t.dtype
+        tb = _append_prior_pose(
+            self.graph.prior_pose, jnp.asarray(s), jnp.asarray(idx),
+            jnp.asarray(pose.R, dt), jnp.asarray(pose.t, dt),
+            jnp.asarray(sqrt_info, dt))
+        self.graph = self.graph._replace(prior_pose=tb)
 
-    def add_between(self, i, j, meas: se3.Pose, sqrt_info):
+    def add_between(self, i, j, meas: se3.Pose, sqrt_info, robust=None):
         s = self._slot("between", self.graph.between.i.shape[0])
-        self.graph = _append_between(
-            self.graph, jnp.asarray(s), jnp.asarray(i), jnp.asarray(j),
-            meas.R, meas.t, jnp.asarray(sqrt_info))
+        dt = self.graph.between.robust_k.dtype
+        tb = _append_between(
+            self.graph.between, jnp.asarray(s), jnp.asarray(i),
+            jnp.asarray(j), jnp.asarray(meas.R, dt), jnp.asarray(meas.t, dt),
+            jnp.asarray(sqrt_info, dt),
+            jnp.asarray(0 if robust is None else 1, jnp.int32),
+            jnp.asarray(1.0 if robust is None else float(robust), dt))
+        self.graph = self.graph._replace(between=tb)
 
     def add_prior_vel(self, idx, mean, sqrt_info):
         s = self._slot("prior_vel", self.graph.prior_vel.idx.shape[0])
-        self.graph = _append_prior_vel(
-            self.graph, jnp.asarray(s), jnp.asarray(idx), jnp.asarray(mean),
-            jnp.asarray(sqrt_info))
+        dt = self.values.pose_t.dtype
+        tb = _append_prior_vec(
+            self.graph.prior_vel, jnp.asarray(s), jnp.asarray(idx),
+            jnp.asarray(mean, dt), jnp.asarray(sqrt_info, dt))
+        self.graph = self.graph._replace(prior_vel=tb)
 
     def add_prior_bias(self, idx, mean, sqrt_info):
         s = self._slot("prior_bias", self.graph.prior_bias.idx.shape[0])
-        self.graph = _append_prior_bias(
-            self.graph, jnp.asarray(s), jnp.asarray(idx), jnp.asarray(mean),
-            jnp.asarray(sqrt_info))
+        dt = self.values.pose_t.dtype
+        tb = _append_prior_vec(
+            self.graph.prior_bias, jnp.asarray(s), jnp.asarray(idx),
+            jnp.asarray(mean, dt), jnp.asarray(sqrt_info, dt))
+        self.graph = self.graph._replace(prior_bias=tb)
 
     def add_plane_factor(self, pose_idx, plane_idx, meas, sqrt_info):
         s = self._slot("plane", self.graph.plane.pose_idx.shape[0])
-        self.graph = _append_plane_factor(
-            self.graph, jnp.asarray(s), jnp.asarray(pose_idx),
-            jnp.asarray(plane_idx), jnp.asarray(meas), jnp.asarray(sqrt_info))
+        dt = self.values.pose_t.dtype
+        m = np.asarray(meas, np.float64)
+        m = m / np.linalg.norm(m[:3])   # exact unit normal (see set_plane)
+        tb = _append_plane_factor(
+            self.graph.plane, jnp.asarray(s), jnp.asarray(pose_idx),
+            jnp.asarray(plane_idx), jnp.asarray(m, dt),
+            jnp.asarray(sqrt_info, dt))
+        self.graph = self.graph._replace(plane=tb)
 
     def add_imu_factor(self, i, j, preint, gravity):
         s = self._slot("imu", self.graph.imu.i.shape[0])
-        self.graph = _append_imu(
-            self.graph, jnp.asarray(s), jnp.asarray(i), jnp.asarray(j),
-            preint.dR, preint.dp, preint.dv, preint.H_R_bg, preint.H_p_ba,
-            preint.H_p_bg, preint.H_v_ba, preint.H_v_bg, preint.bias_hat,
-            preint.dt, jnp.asarray(gravity), preint.cov)
+        dt = self.values.pose_t.dtype
+        tb = _append_imu(
+            self.graph.imu, jnp.asarray(s), jnp.asarray(i), jnp.asarray(j),
+            jnp.asarray(preint.dR, dt), jnp.asarray(preint.dp, dt),
+            jnp.asarray(preint.dv, dt), jnp.asarray(preint.H_R_bg, dt),
+            jnp.asarray(preint.H_p_ba, dt), jnp.asarray(preint.H_p_bg, dt),
+            jnp.asarray(preint.H_v_ba, dt), jnp.asarray(preint.H_v_bg, dt),
+            jnp.asarray(preint.bias_hat, dt), jnp.asarray(preint.dt, dt),
+            jnp.asarray(gravity, dt), jnp.asarray(preint.cov, dt))
+        self.graph = self.graph._replace(imu=tb)
 
     # -- queries ----------------------------------------------------------
     def pose(self, idx: int) -> se3.Pose:
@@ -267,6 +273,96 @@ class OnlineGraph:
 
     def error(self) -> float:
         return float(total_error(self.graph, self.values))
+
+    # -- growth -----------------------------------------------------------
+    def grow(self, pose_cap=None, vel_cap=None, bias_cap=None,
+             plane_var_cap=None, point_cap=None, factor_caps=None):
+        """Re-home the arenas at larger capacities (bucket-crossing growth).
+
+        Fresh empty arenas are built at the new capacities (so padded rows
+        keep their benign defaults — identity rotations, unit sqrt-info)
+        and the live prefix is copied in. This is the only operation that
+        changes shapes, i.e. the only recompile point while a trajectory
+        grows — the online analog of the builder's capacity buckets.
+        """
+        from .factors import empty_graph
+        from .variables import empty_arena, layout_of
+
+        lay = layout_of(self.values)
+        dtype = self.values.pose_t.dtype
+        new_vals = empty_arena(
+            pose_cap=pose_cap or lay.pose_cap,
+            vel_cap=vel_cap or lay.vel_cap,
+            bias_cap=bias_cap or lay.bias_cap,
+            plane_cap=plane_var_cap or lay.plane_cap,
+            point_cap=point_cap or lay.point_cap,
+            dtype=dtype)
+
+        def copy_into(new, old):
+            if new.ndim == 0:
+                return old
+            n = min(new.shape[0], old.shape[0])
+            return new.at[:n].set(old[:n])
+
+        self.values = jax.tree.map(copy_into, new_vals, self.values)
+
+        fc = dict(factor_caps or {})
+        caps = {name: max(
+            fc.get(name, 0),
+            jax.tree.leaves(getattr(self.graph, name))[0].shape[0])
+            for name in _TABLES}
+        new_graph = empty_graph(
+            prior_pose_cap=caps["prior_pose"], between_cap=caps["between"],
+            prior_vel_cap=caps["prior_vel"], prior_bias_cap=caps["prior_bias"],
+            plane_cap=caps["plane"], imu_cap=caps["imu"],
+            projection_cap=caps["projection"],
+            prior_point_cap=caps["prior_point"], dtype=dtype)
+        self.graph = jax.tree.map(copy_into, new_graph, self.graph)
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def window_graph(graph: FactorGraph, starts, caps) -> FactorGraph:
+    """Suffix-window view of a factor graph with static shapes.
+
+    Factors are appended in time order, so the factors touching the most
+    recent poses are a *suffix* of each table. ``starts`` is an (8,) int32
+    array of per-table slice starts (``_TABLES`` order), ``caps`` a static
+    tuple of window capacities. Each table is ``dynamic_slice``d to its
+    window capacity — a traced start never changes the compiled shape, so
+    the windowed optimizer compiles exactly once per configuration.
+    """
+    out = {}
+    for k, name in enumerate(_TABLES):
+        tb = getattr(graph, name)
+        cap = jax.tree.leaves(tb)[0].shape[0]
+        size = min(caps[k], cap)
+        s = jnp.clip(starts[k], 0, cap - size)
+        out[name] = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, s, size, 0), tb)
+    return FactorGraph(**out)
+
+
+@jax.jit
+def _free_mask(values: VariableArena, free_from):
+    """Tangent-dim update mask: variable index >= free_from[kind] is free.
+
+    ``free_from`` is an (5,) int32 array (pose, vel, bias, plane, point);
+    frozen variables act as constants in the windowed GN (fixed-lag
+    boundary — no marginalization, matching the reference's bounded
+    lookback semantics rather than a full Bayes-tree smoother).
+    """
+    lay = layout_of(values)
+
+    def block(cap, lo, width):
+        return jnp.repeat(jnp.arange(cap) >= lo, width)
+
+    return jnp.concatenate([
+        block(lay.pose_cap, free_from[0], 6),
+        block(lay.vel_cap, free_from[1], 3),
+        block(lay.bias_cap, free_from[2], 6),
+        block(lay.plane_cap, free_from[3], 3),
+        block(lay.point_cap, free_from[4], 3),
+    ])
 
 
 class IncrementalOptimizer:
@@ -276,17 +372,70 @@ class IncrementalOptimizer:
     from the previous estimate (the analog of relinearize-threshold-0.1 /
     skip-1 ISAM2 updates, gtsam_graph.cpp:93-99); a full LM solve can be
     requested at any time (the reference's periodic batch optimize).
+
+    Two modes:
+    - ``window=None`` (full): relinearize the whole (masked) arena each
+      update. Shapes are static, so per-update cost is O(capacity) —
+      constant over the run, matching ISAM2's estimate quality exactly.
+    - ``window=W`` (fixed-lag): optimize only the last ``W``
+      poses/vels/biases over the suffix window of each factor table
+      (``window_graph``), older variables frozen as constants. Per-update
+      cost is O(window), independent of both trajectory length *and* arena
+      capacity — the bounded-cost mode for 27k-frame-class runs
+      (gtsam_imuVN100_go.launch:13).
     """
 
     def __init__(self, iters_per_update: int = 1, damping: float = 1e-6,
-                 solver: str = "dense"):
+                 solver: str = "dense", pcg_iters: int = 100,
+                 window: Optional[int] = None,
+                 window_factor_caps: Optional[dict] = None):
         self.iters = iters_per_update
         self.damping = damping
         self.solver = solver
+        self.pcg_iters = pcg_iters
+        self.window = window
+        self._wcaps = window_factor_caps
+
+    def _window_caps(self, og: OnlineGraph):
+        """Static per-table window sizes (defaults scale with the window)."""
+        W = self.window
+        d = {
+            "prior_pose": og.graph.prior_pose.idx.shape[0],
+            "between": 8 * W,
+            "prior_vel": og.graph.prior_vel.idx.shape[0],
+            "prior_bias": og.graph.prior_bias.idx.shape[0],
+            "plane": 4 * W,
+            "imu": W,
+            "projection": 16 * W,
+            "prior_point": og.graph.prior_point.idx.shape[0],
+        }
+        if self._wcaps:
+            d.update(self._wcaps)
+        return tuple(d[name] for name in _TABLES)
 
     def update(self, og: OnlineGraph):
-        res = gn_optimize(og.graph, og.values, iterations=self.iters,
-                          solver=self.solver, damping=self.damping)
+        if self.window is None:
+            res = gn_optimize(og.graph, og.values, iterations=self.iters,
+                              solver=self.solver, damping=self.damping,
+                              pcg_iters=self.pcg_iters)
+            og.values = res.values
+            return res
+
+        caps = self._window_caps(og)
+        counts = [og._n[k] if k in og._n else 0 for k in _TABLES]
+        starts = jnp.asarray(
+            [max(0, c - min(s, jax.tree.leaves(getattr(og.graph, n))[0]
+                            .shape[0]))
+             for c, s, n in zip(counts, caps, _TABLES)], jnp.int32)
+        win = window_graph(og.graph, starts, caps)
+        free_from = jnp.asarray(
+            [max(0, og.num_poses - self.window),
+             max(0, og.num_vels - self.window),
+             max(0, og.num_biases - self.window), 0, 0], jnp.int32)
+        um = _free_mask(og.values, free_from)
+        res = gn_optimize(win, og.values, iterations=self.iters,
+                          solver=self.solver, damping=self.damping,
+                          pcg_iters=self.pcg_iters, update_mask=um)
         og.values = res.values
         return res
 

@@ -160,11 +160,17 @@ def empty_arena(
     point_cap: int = 0,
     dtype=jnp.float64,
 ) -> VariableArena:
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (pose_cap, 3, 3))
+    eye = jnp.tile(jnp.eye(3, dtype=dtype), (pose_cap, 1, 1))
     plane0 = jnp.zeros((plane_cap, 4), dtype=dtype)
     if plane_cap:
         plane0 = plane0.at[:, 2].set(1.0)  # valid unit normal placeholder
-    zero = jnp.zeros((), jnp.int32)
+
+    # every field gets its OWN buffer: the online engine donates the whole
+    # arena to its jitted row writers, and XLA rejects executions where two
+    # donated arguments alias one buffer
+    def zero():
+        return jnp.zeros((), jnp.int32)
+
     return VariableArena(
         pose_R=eye,
         pose_t=jnp.zeros((pose_cap, 3), dtype=dtype),
@@ -172,9 +178,9 @@ def empty_arena(
         bias=jnp.zeros((bias_cap, 6), dtype=dtype),
         plane=plane0,
         point=jnp.zeros((point_cap, 3), dtype=dtype),
-        num_poses=zero,
-        num_vels=zero,
-        num_biases=zero,
-        num_planes=zero,
-        num_points=zero,
+        num_poses=zero(),
+        num_vels=zero(),
+        num_biases=zero(),
+        num_planes=zero(),
+        num_points=zero(),
     )

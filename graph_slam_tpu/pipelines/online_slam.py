@@ -32,7 +32,11 @@ import jax.numpy as jnp
 
 from ..config import CameraIntrinsics, SlamParams
 from ..core import se3, so3
-from ..graph import GraphBuilder, LMParams, lm_optimize, total_error
+from ..graph import LMParams, lm_optimize, total_error
+from ..graph.builder import _sqrt_info, round_up
+from ..graph.factors import empty_graph
+from ..graph.online import IncrementalOptimizer, OnlineGraph
+from ..graph.variables import empty_arena
 from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog, write_vro_log
 from ..vision.features import FeatureFrame, extract_features
 from ..vision.frontend import match_frames_device, match_one_to_many
@@ -68,7 +72,15 @@ class OnlineSlam:
     seed: int = 0
 
     def __post_init__(self):
-        self.builder = GraphBuilder()
+        # preallocated online arenas: appends are jitted row writes, the
+        # optimizer runs on the live arrays with no host rebuild (the
+        # CGraphGT::addNode + optimizeGraph execution model with ISAM2-role
+        # zero-recompile updates, gtsam_graph.cpp:1670-1788)
+        self._pose_cap = 128
+        self.og = OnlineGraph(
+            empty_graph(prior_pose_cap=2,
+                        between_cap=self._between_cap(self._pose_cap)),
+            empty_arena(pose_cap=self._pose_cap))
         self.frames: list[FeatureFrame] = []   # keyframe feature frames
         self.seq_ids: list[int] = []
         self.records: list[tuple] = []          # VRO log rows
@@ -76,6 +88,18 @@ class OnlineSlam:
         self._values = None
         self._n_since_opt = 0
         self._sequence = 0
+
+    def _between_cap(self, pose_cap: int) -> int:
+        return round_up(pose_cap * (self.params.lookback_nodes + 1), 64)
+
+    def _ensure_capacity(self):
+        bt_cap = self.og.graph.between.i.shape[0]
+        if (len(self.frames) + 1 >= self._pose_cap
+                or self.og._n["between"] + self.params.lookback_nodes + 2
+                >= bt_cap):
+            self._pose_cap *= 2
+            self.og.grow(pose_cap=self._pose_cap, factor_caps={
+                "between": self._between_cap(self._pose_cap)})
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -106,9 +130,9 @@ class OnlineSlam:
                                  max_features=self.max_features)
 
         if not self.frames:
-            self.builder.add_pose((np.eye(3), np.zeros(3)))
-            self.builder.add_prior_pose(0, (np.eye(3), np.zeros(3)),
-                                        sigmas=np.full(6, 1e-7))
+            self.og.set_pose(0, se3.identity())
+            self.og.add_prior_pose(0, se3.identity(),
+                                   _sqrt_info(6, sigmas=np.full(6, 1e-7)))
             self.frames.append(frame)
             self.seq_ids.append(seq_id)
             return FrameStatus.FIRST
@@ -120,12 +144,14 @@ class OnlineSlam:
             inlier_thresh=self.inlier_thresh, min_inliers=self.min_inliers)
 
         gi = len(self.frames) - 1
+        self._ensure_capacity()
         if not bool(ok) or not np.isfinite(np.asarray(info)).all():
             # total failure -> fake odometry keyframe (fakeOdoNode)
-            gj = self.builder.add_pose(self.builder.pose(gi))
+            gj = gi + 1
+            self.og.set_pose(gj, self.og.pose(gi))
             fake = self._fake_info()
-            self.builder.add_between(gi, gj, (np.eye(3), np.zeros(3)),
-                                     information=fake)
+            self.og.add_between(gi, gj, se3.identity(),
+                                _sqrt_info(6, information=fake))
             self._record(seq_id, self.seq_ids[-1], (np.eye(3), np.zeros(3)),
                          np.eye(6) * FAILED_INFO_SENTINEL)
             self.frames.append(frame)
@@ -143,12 +169,11 @@ class OnlineSlam:
             return FrameStatus.SMALL_MOTION
 
         # accept keyframe + odometry edge
-        Ri, ti = self.builder.pose(gi)
-        est = se3.compose(se3.Pose(jnp.asarray(Ri), jnp.asarray(ti)),
-                          se3.Pose(R, t))
-        gj = self.builder.add_pose((np.asarray(est.R), np.asarray(est.t)))
-        self.builder.add_between(gi, gj, (np.asarray(R), np.asarray(t)),
-                                 information=np.asarray(info))
+        est = se3.compose(self.og.pose(gi), se3.Pose(R, t))
+        gj = gi + 1
+        self.og.set_pose(gj, est)
+        self.og.add_between(gi, gj, se3.Pose(R, t),
+                            _sqrt_info(6, information=np.asarray(info)))
         self._record(seq_id, self.seq_ids[-1],
                      (np.asarray(R), np.asarray(t)), np.asarray(info))
 
@@ -172,9 +197,9 @@ class OnlineSlam:
                     continue
                 if not np.isfinite(np.asarray(infos[c])).all():
                     continue
-                self.builder.add_between(
-                    ci, gj, (np.asarray(Rs[c]), np.asarray(ts[c])),
-                    information=np.asarray(infos[c]))
+                self.og.add_between(
+                    ci, gj, se3.Pose(Rs[c], ts[c]),
+                    _sqrt_info(6, information=np.asarray(infos[c])))
                 self._record(seq_id, self.seq_ids[ci],
                              (np.asarray(Rs[c]), np.asarray(ts[c])),
                              np.asarray(infos[c]))
@@ -191,25 +216,22 @@ class OnlineSlam:
             self.optimize()
 
     def optimize(self, lm_params: LMParams = LMParams()):
-        """Batch optimize and write estimates back (optimizeGraphBatch)."""
-        graph, values = self.builder.build()
-        res = lm_optimize(graph, values, lm_params)
+        """Batch optimize on the live arenas (optimizeGraphBatch) — no host
+        rebuild; the optimized values become the estimator state."""
+        res = lm_optimize(self.og.graph, self.og.values, lm_params)
+        self.og.values = res.values
         self._values = res.values
-        for q in range(len(self.frames)):
-            self.builder.set_pose(q, (np.asarray(res.values.pose_R[q]),
-                                      np.asarray(res.values.pose_t[q])))
         self._n_since_opt = 0
         return float(res.error)
 
     def error(self) -> float:
-        graph, values = self.builder.build()
-        return float(total_error(graph, values))
+        return self.og.error()
 
     # -- outputs ---------------------------------------------------------
     def trajectory(self, w2o: se3.Pose | None = None):
         n = len(self.frames)
-        R = np.stack([self.builder.pose(k)[0] for k in range(n)])
-        t = np.stack([self.builder.pose(k)[1] for k in range(n)])
+        R = np.asarray(self.og.values.pose_R[:n])
+        t = np.asarray(self.og.values.pose_t[:n])
         if w2o is not None:
             P = se3.compose(
                 se3.Pose(jnp.broadcast_to(w2o.R, R.shape),

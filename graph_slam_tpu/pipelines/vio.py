@@ -33,7 +33,11 @@ import jax
 from ..config import CameraIntrinsics, SlamParams
 from ..core import se3
 from ..graph import GraphBuilder, LMParams, lm_optimize, total_error
+from ..graph.builder import _sqrt_info, round_up
+from ..graph.factors import empty_graph
 from ..graph.lm import gn_optimize
+from ..graph.online import IncrementalOptimizer, OnlineGraph
+from ..graph.variables import empty_arena
 from ..imu import (
     ImuParams,
     ImuStream,
@@ -65,6 +69,17 @@ class VioConfig:
     final_batch: bool = True           # LM at the end (reference outputs)
     feedback: bool = True              # bias/state re-seeding
     bucket: int = 256
+    # incremental execution engine:
+    # "online"  — preallocated OnlineGraph arenas + jitted row appenders; no
+    #             host rebuilds, the optimizer never recompiles mid-run (the
+    #             ISAM2-role execution model, gtsam_graph.cpp:1768-1776)
+    # "rebuild" — host-side GraphBuilder rebuild per optimize step (the
+    #             round-1 behavior, kept for cross-checking)
+    engine: str = "online"
+    incremental_solver: str = "dense"  # "dense" | "pcg" (use pcg for >100 kf)
+    incremental_pcg_iters: int = 100
+    window: Optional[int] = None       # fixed-lag window (None = full arena)
+    plane_var_cap: int = 32            # online-engine plane landmark capacity
     # chi2 IMU-vs-VRO rotation consistency gate: implemented but default-off,
     # matching the reference (retained disabled, test_vro_imu_graph.cpp:677-782,
     # threshold 40000 at :753, flag chi2_for_vro default false)
@@ -91,6 +106,84 @@ class VioResult:
     n_vo_edges: int
     n_plane_factors: int
     plane_book: Optional[PlaneLandmarkBook]
+
+
+class _OnlineVioGraph:
+    """GraphBuilder-shaped facade over preallocated OnlineGraph arenas.
+
+    Lets ``run_vio`` drive the zero-recompile online engine through the
+    same call surface the host-rebuild path uses. Capacities are sized
+    from the VRO log upfront (the offline replay knows its frame/edge
+    budget, like the reference's readVRORecord-then-replay structure).
+    """
+
+    def __init__(self, n_frames: int, n_edges: int, bucket: int,
+                 plane_var_cap: int, plane_factor_cap: int):
+        P = round_up(n_frames, bucket)
+        self.og = OnlineGraph(
+            empty_graph(
+                prior_pose_cap=4,
+                between_cap=round_up(n_edges + 4, bucket),
+                prior_vel_cap=4,
+                prior_bias_cap=4,
+                plane_cap=round_up(plane_factor_cap, bucket),
+                imu_cap=P,
+            ),
+            empty_arena(pose_cap=P, vel_cap=P, bias_cap=P,
+                        plane_cap=plane_var_cap),
+        )
+        self._planes: list = []   # mirrors GraphBuilder's landmark list
+
+    # -- variables (append order mirrors GraphBuilder) -------------------
+    def add_pose(self, Rt) -> int:
+        gid = self.og.num_poses
+        self.og.set_pose(gid, se3.Pose(jnp.asarray(Rt[0]),
+                                       jnp.asarray(Rt[1])))
+        return gid
+
+    def add_vel(self, v) -> int:
+        vid = self.og.num_vels
+        self.og.set_vel(vid, v)
+        return vid
+
+    def add_bias(self, b) -> int:
+        bid = self.og.num_biases
+        self.og.set_bias(bid, b)
+        return bid
+
+    def add_plane(self, p) -> int:
+        lid = self.og.num_planes
+        self.og.set_plane(lid, p)
+        self._planes.append(np.asarray(p))
+        return lid
+
+    def set_pose(self, idx, Rt):
+        self.og.set_pose(idx, se3.Pose(jnp.asarray(Rt[0]),
+                                       jnp.asarray(Rt[1])), new=False)
+
+    # -- factors ----------------------------------------------------------
+    def add_prior_pose(self, idx, Rt, **noise):
+        self.og.add_prior_pose(idx, se3.Pose(jnp.asarray(Rt[0]),
+                                             jnp.asarray(Rt[1])),
+                               _sqrt_info(6, **noise))
+
+    def add_prior_vel(self, idx, mean, **noise):
+        self.og.add_prior_vel(idx, mean, _sqrt_info(3, **noise))
+
+    def add_prior_bias(self, idx, mean, **noise):
+        self.og.add_prior_bias(idx, mean, _sqrt_info(6, **noise))
+
+    def add_between(self, i, j, Rt, robust=None, **noise):
+        self.og.add_between(i, j, se3.Pose(jnp.asarray(Rt[0]),
+                                           jnp.asarray(Rt[1])),
+                            _sqrt_info(6, **noise), robust=robust)
+
+    def add_imu_factor(self, i, j, preint, gravity):
+        self.og.add_imu_factor(i, j, preint, gravity)
+
+    def add_plane_factor(self, pose_idx, plane_idx, meas, **noise):
+        self.og.add_plane_factor(pose_idx, plane_idx, meas,
+                                 _sqrt_info(3, **noise))
 
 
 def _pad_window(acc, gyr, n, dt_nom, max_window):
@@ -140,7 +233,20 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
         raise ValueError("frames mode requires camera intrinsics")
     robust_k = cfg.robust_k if cfg.robust == "huber" else None
 
-    b = GraphBuilder()
+    online = cfg.engine == "online"
+    if online:
+        n_frames = len(set(int(x) for x in log.id_to)) + 1
+        b = _OnlineVioGraph(
+            n_frames, len(log), bucket=cfg.bucket,
+            plane_var_cap=cfg.plane_var_cap,
+            plane_factor_cap=max(64, 4 * n_frames))
+        inc = IncrementalOptimizer(
+            iters_per_update=cfg.incremental_iters, damping=1e-6,
+            solver=cfg.incremental_solver,
+            pcg_iters=cfg.incremental_pcg_iters, window=cfg.window)
+    else:
+        b = GraphBuilder()
+        inc = None
     book = PlaneLandmarkBook(lookback=params.lookback_nodes) \
         if cfg.plane_mode != "off" else None
     rng = [jax.random.PRNGKey(cfg.seed)]
@@ -373,22 +479,33 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
 
         # --- periodic incremental optimization + feedback ---------------
         if cfg.feedback and len(seq_ids) % cfg.optimize_step == 0:
-            graph, values = b.build(bucket=cfg.bucket)
-            res = gn_optimize(graph, values,
-                              iterations=cfg.incremental_iters,
-                              solver="dense", damping=1e-6)
+            if online:
+                # zero-recompile update on the live arenas; og.values IS the
+                # estimator state (no write-back needed)
+                res = inc.update(b.og)
+                vals = b.og.values
+            else:
+                graph, values = b.build(bucket=cfg.bucket)
+                res = gn_optimize(graph, values,
+                                  iterations=cfg.incremental_iters,
+                                  solver="dense", damping=1e-6)
+                vals = res.values
             j = len(seq_ids) - 1
-            prev_pose = se3.Pose(res.values.pose_R[j], res.values.pose_t[j])
-            prev_vel = res.values.vel[j]
-            prev_bias = res.values.bias[j]
-            # write back optimized estimates as new initial values
-            for q in range(len(seq_ids)):
-                b.set_pose(q, (np.asarray(res.values.pose_R[q]),
-                               np.asarray(res.values.pose_t[q])))
-                b._vels[q] = np.asarray(res.values.vel[q])
-                b._biases[q] = np.asarray(res.values.bias[q])
+            prev_pose = se3.Pose(vals.pose_R[j], vals.pose_t[j])
+            prev_vel = vals.vel[j]
+            prev_bias = vals.bias[j]
+            if not online:
+                # write back optimized estimates as new initial values
+                for q in range(len(seq_ids)):
+                    b.set_pose(q, (np.asarray(vals.pose_R[q]),
+                                   np.asarray(vals.pose_t[q])))
+                    b._vels[q] = np.asarray(vals.vel[q])
+                    b._biases[q] = np.asarray(vals.bias[q])
 
-    graph, values = b.build(bucket=cfg.bucket)
+    if online:
+        graph, values = b.og.graph, b.og.values
+    else:
+        graph, values = b.build(bucket=cfg.bucket)
     e0 = float(total_error(graph, values))
     if cfg.final_batch:
         res = lm_optimize(graph, values, lm_params)

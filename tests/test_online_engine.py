@@ -1,0 +1,215 @@
+"""Online-engine proof tests (VERDICT round-1 ask #2).
+
+- 1,000-frame synthetic trajectory appended row-by-row to preallocated
+  OnlineGraph arenas with an IncrementalOptimizer update per frame: final
+  chi2 must match batch LM (same measurements, cold start) within 1e-6
+  relative, and per-update wall time must stay flat across the run (the
+  ISAM2 role, gtsam_graph.cpp:1768-1776).
+- fixed-lag window mode: per-update cost independent of trajectory length,
+  estimates stay near ground truth.
+- window_graph/update_mask correctness: a window covering everything must
+  reproduce the full GN exactly.
+"""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+import np_lie
+from graph_slam_tpu.core import se3
+from graph_slam_tpu.graph import GraphBuilder, LMParams, lm_optimize
+from graph_slam_tpu.graph.factors import empty_graph, total_error
+from graph_slam_tpu.graph.lm import gn_optimize
+from graph_slam_tpu.graph.online import IncrementalOptimizer, OnlineGraph
+from graph_slam_tpu.graph.variables import empty_arena
+
+INFO_SQRT = np.linalg.cholesky(np.diag([100.0] * 3 + [25.0] * 3)).T
+
+
+def corridor_sequence(n, loop_every=5, loop_span=20, seed=0,
+                      meas_noise=0.01, init_noise=0.05):
+    """GT chain + (i, j, T_ij_measured) edge list for a loopy corridor."""
+    r = np.random.default_rng(seed)
+    gt = [(np.eye(3), np.zeros(3))]
+    for k in range(1, n):
+        # gentle turning corridor
+        w = np.array([0.0, 0.0, 0.03 * np.sin(k / 37.0)])
+        v = np.array([0.3, 0.02 * np.cos(k / 23.0), 0.0])
+        T = (np_lie.so3_exp(w), v)
+        gt.append((gt[-1][0] @ T[0], gt[-1][1] + gt[-1][0] @ T[1]))
+
+    def noisy_between(i, j):
+        T = np_lie.between(gt[i], gt[j])
+        dR = np_lie.so3_exp(r.normal(size=3) * meas_noise * 0.3)
+        return (T[0] @ dR, T[1] + r.normal(size=3) * meas_noise)
+
+    edges = []
+    for k in range(1, n):
+        edges.append((k - 1, k, noisy_between(k - 1, k)))
+        if k % loop_every == 0 and k >= loop_span:
+            edges.append((k - loop_span, k, noisy_between(k - loop_span, k)))
+    return gt, edges, r
+
+
+def build_batch(gt, edges, init_noise, rng):
+    b = GraphBuilder()
+    for k, (R, t) in enumerate(gt):
+        if k == 0:
+            b.add_pose((R, t))
+        else:
+            b.add_pose(np_lie.retract((R, t), rng.normal(size=6) * init_noise))
+    b.add_prior_pose(0, gt[0], sigmas=np.full(6, 1e-6))
+    for i, j, T in edges:
+        b.add_between(i, j, T, sqrt_info=INFO_SQRT)
+    return b.build(bucket=64)
+
+
+class TestThousandFrameIncremental:
+    def test_incremental_matches_batch_and_stays_flat(self):
+        n = 1000
+        gt, edges, rng = corridor_sequence(n)
+
+        # batch reference: cold LM on the full problem, then a tight GN
+        # polish (LM's fidelity test stalls just above the optimum with
+        # inexact PCG steps; the polish pins the true optimum so the 1e-6
+        # parity bar measures the engines, not the stop rule)
+        graph_b, values_b = build_batch(gt, edges, 0.05, rng)
+        batch = lm_optimize(
+            graph_b, values_b,
+            LMParams(solver="pcg", pcg_iters=200,
+                     relative_error_tol=1e-12, absolute_error_tol=1e-12))
+        batch = gn_optimize(graph_b, batch.values, iterations=20,
+                            solver="pcg", pcg_iters=300, damping=1e-12)
+        chi2_batch = float(batch.error)
+
+        # online run: append + one warm GN update per frame
+        og = OnlineGraph(
+            empty_graph(prior_pose_cap=2, between_cap=2048),
+            empty_arena(pose_cap=1024))
+        inc = IncrementalOptimizer(iters_per_update=1, damping=1e-9,
+                                   solver="pcg", pcg_iters=60)
+        og.set_pose(0, se3.Pose(jnp.asarray(gt[0][0]),
+                                jnp.asarray(gt[0][1])))
+        og.add_prior_pose(0, se3.Pose(jnp.asarray(gt[0][0]),
+                                      jnp.asarray(gt[0][1])),
+                          np.diag(np.full(6, 1e6)))
+        ei = 0
+        times = []
+        for k in range(1, n):
+            # odometry-composed initial estimate (online convention)
+            i, j, T = edges[ei]
+            assert (i, j) == (k - 1, k)
+            est = se3.compose(og.pose(k - 1),
+                              se3.Pose(jnp.asarray(T[0]), jnp.asarray(T[1])))
+            og.set_pose(k, est)
+            while ei < len(edges) and edges[ei][1] <= k:
+                i, j, Te = edges[ei]
+                og.add_between(i, j, se3.Pose(jnp.asarray(Te[0]),
+                                              jnp.asarray(Te[1])),
+                               INFO_SQRT)
+                ei += 1
+            t0 = time.perf_counter()
+            res = inc.update(og)
+            float(res.error)  # block
+            times.append(time.perf_counter() - t0)
+
+        # convergence polish: a few more warm updates on the final graph
+        # (the reference's final batch solve role, but still zero-rebuild)
+        inc_final = IncrementalOptimizer(iters_per_update=8, damping=1e-12,
+                                         solver="pcg", pcg_iters=300)
+        chi2_inc = float(inc_final.update(og).error)
+
+        assert abs(chi2_inc - chi2_batch) / chi2_batch < 1e-6, \
+            (chi2_inc, chi2_batch)
+
+        # flat per-update cost: same compiled program throughout; compare
+        # median early vs late (skip the first 50: compile + cache warmup)
+        early = float(np.median(times[50:150]))
+        late = float(np.median(times[-100:]))
+        assert late < 3.0 * early, (early, late)
+
+        # the incremental trajectory must coincide with the batch optimum up
+        # to the near-flat modes of a 1000-pose chain (global wiggles along
+        # weakly constrained directions cost < 1e-6 chi2, so two equally
+        # converged estimates can differ by centimeters over a ~300 m run)
+        err = np.linalg.norm(np.asarray(og.values.pose_t[:n])
+                             - np.asarray(batch.values.pose_t[:n]), axis=1)
+        assert float(err.max()) < 0.15, float(err.max())
+        assert float(err.mean()) < 0.05, float(err.mean())
+
+
+class TestFixedLagWindow:
+    def test_window_update_bounded_and_accurate(self):
+        n = 300
+        gt, edges, rng = corridor_sequence(n, seed=3)
+        og = OnlineGraph(
+            empty_graph(prior_pose_cap=2, between_cap=1024),
+            empty_arena(pose_cap=512))
+        W = 50
+        inc = IncrementalOptimizer(iters_per_update=1, damping=1e-9,
+                                   solver="pcg", pcg_iters=60, window=W)
+        og.set_pose(0, se3.Pose(jnp.asarray(gt[0][0]), jnp.asarray(gt[0][1])))
+        og.add_prior_pose(0, se3.Pose(jnp.asarray(gt[0][0]),
+                                      jnp.asarray(gt[0][1])),
+                          np.diag(np.full(6, 1e6)))
+        ei = 0
+        for k in range(1, n):
+            i, j, T = edges[ei]
+            est = se3.compose(og.pose(k - 1),
+                              se3.Pose(jnp.asarray(T[0]), jnp.asarray(T[1])))
+            og.set_pose(k, est)
+            while ei < len(edges) and edges[ei][1] <= k:
+                i, j, Te = edges[ei]
+                og.add_between(i, j, se3.Pose(jnp.asarray(Te[0]),
+                                              jnp.asarray(Te[1])), INFO_SQRT)
+                ei += 1
+            inc.update(og)
+
+        # fixed-lag estimates stay near GT (drift bounded by loop closures
+        # inside the window; no global relinearization)
+        err = np.linalg.norm(
+            np.asarray(og.values.pose_t[:n]) - np.stack([g[1] for g in gt]),
+            axis=1)
+        assert float(err.mean()) < 0.5, float(err.mean())
+
+        # a full batch from the windowed estimate reaches the global optimum
+        tight = LMParams(solver="pcg", pcg_iters=200,
+                         relative_error_tol=1e-12, absolute_error_tol=1e-12)
+        res = inc.full_batch(og, tight)
+        graph_b, values_b = build_batch(gt, edges, 0.05, rng)
+        batch = lm_optimize(graph_b, values_b, tight)
+        assert abs(float(res.error) - float(batch.error)) \
+            / float(batch.error) < 1e-5
+
+
+class TestWindowGraphCorrectness:
+    def test_full_window_equals_full_gn(self):
+        """Window covering the entire graph + all-free mask == plain GN."""
+        n = 30
+        gt, edges, rng = corridor_sequence(n, seed=5)
+        og = OnlineGraph(
+            empty_graph(prior_pose_cap=2, between_cap=256),
+            empty_arena(pose_cap=64))
+        og.set_pose(0, se3.Pose(jnp.asarray(gt[0][0]), jnp.asarray(gt[0][1])))
+        og.add_prior_pose(0, se3.Pose(jnp.asarray(gt[0][0]),
+                                      jnp.asarray(gt[0][1])),
+                          np.diag(np.full(6, 1e6)))
+        for k in range(1, n):
+            og.set_pose(k, se3.Pose(
+                jnp.asarray(np_lie.retract(gt[k],
+                                           rng.normal(size=6) * 0.05)[0]),
+                jnp.asarray(np_lie.retract(gt[k],
+                                           rng.normal(size=6) * 0.05)[1])))
+        for i, j, T in edges:
+            og.add_between(i, j, se3.Pose(jnp.asarray(T[0]),
+                                          jnp.asarray(T[1])), INFO_SQRT)
+
+        full = gn_optimize(og.graph, og.values, iterations=3,
+                           solver="dense", damping=1e-9)
+        inc = IncrementalOptimizer(iters_per_update=3, damping=1e-9,
+                                   solver="dense", window=64)
+        res = inc.update(og)
+        np.testing.assert_allclose(np.asarray(res.values.pose_t[:n]),
+                                   np.asarray(full.values.pose_t[:n]),
+                                   atol=1e-10)
