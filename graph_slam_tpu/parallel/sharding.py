@@ -3,14 +3,23 @@
 The reference is single-process (SURVEY.md §2.7); its only parallelism is a
 Qt thread pool. The TPU-native scaling story for sphere2500-class graphs is
 data parallelism over *factors*: every factor table is sharded along its
-leading axis across the mesh, values are replicated, each device computes
-its shard's contribution to (H, g) = (J^T J, J^T r), and one ``psum`` over
-ICI reduces the normal equations; the (small, dense) solve and retract are
-replicated. Communication per GN iteration: one all-reduce of H — the
-minimal possible for exact GN.
+leading axis across the mesh, values are replicated, and each device
+computes its shard's contribution to the normal equations.
+
+Two solver paths:
+
+- ``sharded_gn_pcg_step`` (the scalable default): **matrix-free PCG**.
+  Nothing of size D^2 ever exists. Per GN step the devices psum the
+  gradient (D) and the 3x3-aligned block-Jacobi diagonal (3D); each CG
+  iteration then psums ONE tangent-dim vector — the Hessian-vector product
+  assembled from the local per-factor J^T J blocks. Collective volume per
+  step is O(D * pcg_iters), vs O(D^2) for a dense-H all-reduce (~940 MB at
+  sphere2500 in f32 — the round-1 design this replaces).
+- ``sharded_gn_step``: dense-H psum + replicated Cholesky. Exact GN in one
+  collective; only for small graphs.
 
 Implemented with ``shard_map`` over a 1-D mesh; works on any backend, tested
-on the 8-way virtual CPU mesh in CI.
+on the 8-way virtual CPU mesh at sphere2500 scale (tests/test_sharding.py).
 """
 
 from __future__ import annotations
@@ -22,16 +31,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax>=0.5 moved shard_map out of experimental
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 from ..graph.factors import FactorGraph, linearize_blocks, total_error
-from ..graph.solve import solve_dense
+from ..graph.solve import solve_dense, solve_pcg_precond
 from ..graph.variables import VariableArena, retract_all, used_slot_mask
 
-__all__ = ["make_mesh", "shard_graph", "sharded_gn_step", "sharded_gn",
-           "pad_graph_for_mesh"]
+__all__ = ["make_mesh", "shard_graph", "sharded_gn_step",
+           "sharded_gn_pcg_step", "sharded_gn", "pad_graph_for_mesh"]
 
 AXIS = "factors"
 
@@ -86,11 +95,67 @@ def _gn_local(graph: FactorGraph, values: VariableArena, damping):
     return retract_all(values, delta)
 
 
+def _gn_pcg_local(graph: FactorGraph, values: VariableArena, damping,
+                  pcg_iters: int):
+    """Matrix-free sharded GN step (runs inside shard_map).
+
+    ``graph`` holds this device's factor shard; ``values`` is replicated.
+    Per-factor J^T J blocks are precomputed once per linearization; the CG
+    loop's Hessian-vector product is one batched (td,td) matvec + scatter
+    per factor type followed by a single psum of the (D,) result. Damping
+    and the unused-slot identity are added AFTER the psum so the global
+    system matches the single-device solver exactly.
+    """
+    blocks = linearize_blocks(graph, values)
+    mask = used_slot_mask(values)
+    D = mask.shape[0]
+    dt = mask.dtype
+
+    g = jnp.zeros(D, dt)
+    for r, J, cols in blocks:
+        g = g.at[cols].add(jnp.einsum("fei,fe->fi", J, r))
+    g = jax.lax.psum(g, AXIS)
+
+    pre = [(jnp.einsum("fei,fej->fij", J, J), cols) for r, J, cols in blocks]
+
+    # 3x3-aligned block-Jacobi preconditioner (all variable tangents are
+    # multiples of 3 wide at 3-aligned offsets): local contributions, one
+    # (D/3, 3, 3) psum, then the global damping/identity terms
+    nblk = D // 3
+    Bd = jnp.zeros((nblk, 3, 3), dt)
+    for JtJ, cols in pre:
+        td = cols.shape[1]
+        for p0 in range(0, td, 3):
+            bid = cols[:, p0] // 3
+            Bd = Bd.at[bid].add(JtJ[:, p0:p0 + 3, p0:p0 + 3])
+    Bd = jax.lax.psum(Bd, AXIS)
+    eye3 = jnp.eye(3, dtype=dt)
+    base = damping * jnp.ones_like(mask) + (1.0 - mask)
+    Bd = Bd + base.reshape(nblk, 3)[:, :, None] * eye3
+    Minv = jnp.linalg.inv(Bd)
+
+    def hvp(v):
+        out = jnp.zeros(D, dt)
+        for JtJ, cols in pre:
+            out = out.at[cols].add(jnp.einsum("fij,fj->fi", JtJ, v[cols]))
+        out = jax.lax.psum(out, AXIS)       # ONE (D,) all-reduce per CG iter
+        return out + damping * v + (1.0 - mask) * v
+
+    def apply_precond(r):
+        return jnp.einsum("bij,bj->bi", Minv,
+                          r.reshape(nblk, 3)).reshape(-1)
+
+    delta = solve_pcg_precond(hvp, g, apply_precond, pcg_iters)
+    return retract_all(values, delta)
+
+
 def sharded_gn_step(mesh: Mesh):
-    """Build a jitted one-iteration GN step over the mesh.
+    """Build a jitted one-iteration dense-H GN step over the mesh.
 
     Factor tables sharded on their leading axis (capacities must divide the
-    mesh size — see ``pad_graph_for_mesh``); values replicated.
+    mesh size — see ``pad_graph_for_mesh``); values replicated. The psum
+    moves the full (D, D) Hessian: use only for small graphs, and
+    ``sharded_gn_pcg_step`` at scale.
     """
     fn = shard_map(
         _gn_local,
@@ -101,11 +166,26 @@ def sharded_gn_step(mesh: Mesh):
     return jax.jit(fn)
 
 
+def sharded_gn_pcg_step(mesh: Mesh, pcg_iters: int = 100):
+    """Build a jitted matrix-free sharded GN step (O(D) collectives)."""
+    fn = shard_map(
+        functools.partial(_gn_pcg_local, pcg_iters=pcg_iters),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fn)
+
+
 def sharded_gn(mesh: Mesh, graph: FactorGraph, values: VariableArena,
-               iterations: int = 8, damping: float = 0.0):
+               iterations: int = 8, damping: float = 0.0,
+               solver: str = "pcg", pcg_iters: int = 100):
     """Run ``iterations`` sharded GN steps; returns (values, final_error)."""
     graph = pad_graph_for_mesh(graph, len(mesh.devices.flat))
-    step = sharded_gn_step(mesh)
+    if solver == "pcg":
+        step = sharded_gn_pcg_step(mesh, pcg_iters)
+    else:
+        step = sharded_gn_step(mesh)
     damping = jnp.asarray(damping, values.pose_t.dtype)
     for _ in range(iterations):
         values = step(graph, values, damping)
