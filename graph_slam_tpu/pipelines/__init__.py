@@ -1,6 +1,8 @@
 from .posegraph import (
     PoseGraphResult,
+    build_graph_from_g2o,
     build_pose_graph,
+    run_g2o_file,
     run_pose_graph,
     trajectory_arrays,
 )
@@ -15,7 +17,7 @@ from .plane_check import (
 
 __all__ = [
     "PoseGraphResult", "build_pose_graph", "run_pose_graph",
-    "trajectory_arrays",
+    "build_graph_from_g2o", "run_g2o_file", "trajectory_arrays",
     "VioConfig", "VioResult", "run_vio",
     "BaImuConfig", "BaImuResult", "run_ba_imu",
     "FrameStatus", "OnlineSlam",

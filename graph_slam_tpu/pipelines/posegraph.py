@@ -34,7 +34,7 @@ from ..graph import GraphBuilder, LMParams, gn_optimize, lm_optimize, total_erro
 from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
 
 __all__ = ["PoseGraphResult", "build_pose_graph", "run_pose_graph",
-           "trajectory_arrays"]
+           "build_graph_from_g2o", "run_g2o_file", "trajectory_arrays"]
 
 
 @dataclasses.dataclass
@@ -68,6 +68,7 @@ def build_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
     b = GraphBuilder()
     seq2graph: dict[int, int] = {}
     seq_ids: list[int] = []
+    robust_k = params.robust_k if params.robust == "huber" else None
 
     def ensure_first(seq):
         if not seq2graph:
@@ -100,13 +101,13 @@ def build_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
             if failed and not only_vo:
                 continue  # pose comes from IMU in the VIO pipeline
             b.add_between(gi, gj, (np.asarray(T.R), np.asarray(T.t)),
-                          information=info_b)
+                          information=info_b, robust=robust_k)
         else:
             if failed:
                 continue
             gj = seq2graph[id_to]
             b.add_between(gi, gj, (np.asarray(T.R), np.asarray(T.t)),
-                          information=info_b)
+                          information=info_b, robust=robust_k)
 
     graph, values = b.build(bucket=bucket)
     return graph, values, np.asarray(seq_ids)
@@ -126,6 +127,47 @@ def run_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
         values=res.values, graph=graph, error0=e0, error=float(res.error),
         seq_ids=seq_ids, iterations=int(res.iterations),
     )
+
+
+def build_graph_from_g2o(vertices: dict, edges: list, bucket: int = 256):
+    """(vertices, edges) from ``io.read_g2o`` -> (graph, values, ids).
+
+    Lets the framework ingest standard g2o pose graphs (sphere2500 et al.)
+    and optimize them with the same LM as the VRO path — the known-optimum
+    parity harness entry point (gtsam's writeG2o round trip,
+    gtsam_graph.cpp:1941-1945).
+    """
+    b = GraphBuilder()
+    ids = sorted(vertices.keys())
+    id2slot = {vid: k for k, vid in enumerate(ids)}
+    for vid in ids:
+        t, q = vertices[vid]
+        b.add_pose((np.asarray(so3.quat_to_matrix(jnp.asarray(q))), t))
+    # gauge fixing: prior on the first vertex (g2o solvers fix vertex 0,
+    # g2o_graph.cpp:80-94)
+    t0, q0 = vertices[ids[0]]
+    b.add_prior_pose(0, (np.asarray(so3.quat_to_matrix(jnp.asarray(q0))),
+                         t0), sigmas=np.full(6, 1e-6))
+    for (i, j, tij, qij, info) in edges:
+        b.add_between(id2slot[i], id2slot[j],
+                      (np.asarray(so3.quat_to_matrix(jnp.asarray(qij))), tij),
+                      information=info)
+    graph, values = b.build(bucket=bucket)
+    return graph, values, np.asarray(ids)
+
+
+def run_g2o_file(path: str, lm_params: LMParams = LMParams(),
+                 bucket: int = 256) -> PoseGraphResult:
+    """Read a .g2o pose graph, optimize, return the result."""
+    from ..io import read_g2o
+
+    vertices, edges = read_g2o(path)
+    graph, values, ids = build_graph_from_g2o(vertices, edges, bucket=bucket)
+    e0 = float(total_error(graph, values))
+    res = lm_optimize(graph, values, lm_params)
+    return PoseGraphResult(values=res.values, graph=graph, error0=e0,
+                           error=float(res.error), seq_ids=ids,
+                           iterations=int(res.iterations))
 
 
 def trajectory_arrays(values, seq_ids, w2o: Optional[se3.Pose] = None):

@@ -1,0 +1,136 @@
+"""Golden-fixture generator (run manually; outputs are committed).
+
+Regenerate with:
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tests/goldens/generate.py
+
+Produces, next to this file:
+- ``posegraph_vro.log``  — deterministic 40-node VRO replay fixture with a
+  failed-edge sentinel and loop closures (the reference's canonical log
+  format, gtsam_graph.cpp:1505-1590);
+- ``posegraph_traj.log`` — the pinned trajectory ``run_pose_graph`` produces
+  from it (writeTrajectory format);
+- ``sphere200_noisy.g2o``— a noisy 200-pose sphere pose graph in standard
+  g2o text format, with the pinned optimal chi2;
+- ``chi2.json``          — pinned chi2 values for both fixtures.
+
+These freeze the optimizer's conventions (noise whitening, LM schedule,
+SE(3) retraction, frame handling): any change that shifts final chi2 by
+more than 1e-6 relative or moves the trajectory breaks tests/test_goldens.py.
+"""
+
+import json
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import jax.numpy as jnp
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def np_so3_exp(w):
+    th = np.linalg.norm(w)
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-10:
+        return np.eye(3) + W
+    return (np.eye(3) + np.sin(th) / th * W
+            + (1 - np.cos(th)) / th ** 2 * (W @ W))
+
+
+def make_vro_golden():
+    from graph_slam_tpu.core import se3
+    from graph_slam_tpu.io import write_trajectory, write_vro_log
+    from graph_slam_tpu.io.vro_log import FAILED_INFO_SENTINEL, VROLog
+    from graph_slam_tpu.pipelines import (
+        run_pose_graph,
+        trajectory_arrays,
+    )
+    from graph_slam_tpu.config import SlamParams
+
+    r = np.random.default_rng(42)
+    n = 40
+    gt = [se3.identity()]
+    for k in range(1, n):
+        w = np.array([0.0, 0.0, 2 * np.pi / n])
+        v = np.array([0.4, 0.0, 0.01 * np.sin(k)])
+        T = se3.Pose(jnp.asarray(np_so3_exp(w)), jnp.asarray(v))
+        gt.append(se3.compose(gt[-1], T))
+
+    info = np.diag([4e3, 4e3, 4e3, 1e3, 1e3, 1e3])
+    id_to, id_from, xis, infos = [], [], [], []
+    for k in range(1, n):
+        id_from.append(k - 1)
+        id_to.append(k)
+        if k == 17:   # failed edge -> identity edge in pure-VO mode
+            xis.append(np.zeros(6))
+            infos.append(np.eye(6) * FAILED_INFO_SENTINEL)
+        else:
+            T = se3.between(gt[k - 1], gt[k])
+            xi = np.asarray(se3.logmap(T)) + r.normal(size=6) * 0.005
+            xis.append(xi)
+            infos.append(info)
+    for (i, j) in [(0, n - 1), (5, 25), (10, 30)]:
+        T = se3.between(gt[i], gt[j])
+        id_from.append(i)
+        id_to.append(j)
+        xis.append(np.asarray(se3.logmap(T)) + r.normal(size=6) * 0.005)
+        infos.append(info)
+
+    log = VROLog(np.asarray(id_to), np.asarray(id_from), np.stack(xis),
+                 np.stack(infos))
+    write_vro_log(os.path.join(HERE, "posegraph_vro.log"), log)
+
+    res = run_pose_graph(log, SlamParams(), bucket=64)
+    ids, t, q, seq = trajectory_arrays(res.values, res.seq_ids)
+    write_trajectory(os.path.join(HERE, "posegraph_traj.log"), ids, t, q, seq)
+    return {"vro_error0": res.error0, "vro_error": res.error}
+
+
+def make_g2o_golden():
+    from graph_slam_tpu.datasets import make_sphere_graph
+    from graph_slam_tpu.graph import LMParams, lm_optimize
+    from graph_slam_tpu.io import write_g2o
+    from graph_slam_tpu.core import so3
+    from graph_slam_tpu.pipelines import run_g2o_file
+
+    graph, values, _ = make_sphere_graph(n_poses=200, edges_per_pose=3.0,
+                                         meas_noise=0.02, init_noise=0.1,
+                                         seed=7, dtype=jnp.float64,
+                                         bucket=64)
+    n = int(values.num_poses)
+    t = np.asarray(values.pose_t[:n])
+    q = np.asarray(so3.matrix_to_quat(values.pose_R[:n]))
+    bt = graph.between
+    act = np.asarray(bt.active)
+    edges = []
+    for k in np.nonzero(act)[0]:
+        S = np.asarray(bt.sqrt_info[k])
+        info = S.T @ S
+        qij = np.asarray(so3.matrix_to_quat(bt.meas_R[k]))
+        edges.append((int(bt.i[k]), int(bt.j[k]),
+                      np.asarray(bt.meas_t[k]), qij, info))
+    path = os.path.join(HERE, "sphere200_noisy.g2o")
+    write_g2o(path, t, q, edges)
+
+    # pinned optimum through the same entry point the test uses
+    res = run_g2o_file(path, LMParams(relative_error_tol=1e-12,
+                                      absolute_error_tol=1e-12), bucket=64)
+    return {"g2o_error0": res.error0, "g2o_error": res.error}
+
+
+def main():
+    pins = {}
+    pins.update(make_vro_golden())
+    pins.update(make_g2o_golden())
+    with open(os.path.join(HERE, "chi2.json"), "w") as f:
+        json.dump(pins, f, indent=2)
+    print(json.dumps(pins, indent=2))
+
+
+if __name__ == "__main__":
+    main()
