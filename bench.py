@@ -1,21 +1,29 @@
-"""Headline benchmark: GN-iteration throughput on a sphere2500-class graph.
+"""Benchmark suite: GN throughput (headline) + BA Schur + VIO replay + MFU.
 
-Matches the driver-defined target (BASELINE.md): >= 10x GN-iteration
-throughput vs single-core g2o (CSparse) on a 2500-pose SE(3) graph. The
-reference repo publishes no numbers; the baseline constant below is the
-commonly reported ballpark for single-core g2o batch LM on sphere2500
-(~0.5 s per linearize+solve iteration => 2 iter/s). We measure full GN
-iterations (relinearize + assemble + 25-step PCG solve + manifold retract)
-on one TPU chip.
+Headline (BASELINE.md target): >= 10x GN-iteration throughput vs single-core
+g2o (CSparse) on a 2500-pose SE(3) graph. The reference repo publishes no
+numbers; the baseline constant below is the commonly reported ballpark for
+single-core g2o batch LM on sphere2500 (~0.5 s per linearize+solve iteration
+=> 2 iter/s). We measure full GN iterations (relinearize + assemble +
+PCG solve + manifold retract) on one TPU chip.
 
-Timing is *chained*: each jitted call consumes the previous call's output,
-so no result caching in the remote-execution relay can fake the numbers.
-Convergence is asserted (final chi2 must be a small fraction of initial).
+Relay pitfalls this file works around (discovered round 1):
+- identical executions are CACHED by the remote-execution relay -> timing is
+  *chained* (each call consumes the previous call's output);
+- running a DIFFERENT compiled program degrades the relay ~8x for the rest
+  of the process -> every secondary benchmark (BA Schur, VIO replay,
+  gather-PCG, dispatch probe) runs in its OWN subprocess; the main process
+  times only the headline program.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+``extra`` carries the secondary metrics + a FLOP/MFU estimate from XLA's
+cost analysis (no extra execution). ``python bench.py --single NAME`` runs
+one secondary benchmark and prints its own JSON line (used internally).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -31,42 +39,274 @@ ITERS_PER_CALL = 50
 N_CALLS = 2
 PCG_ITERS = 10
 
+# peak f32 FLOP/s of one TPU v5e chip (197 TFLOP/s bf16 -> ~98.5 f32 on MXU)
+PEAK_F32_FLOPS = 98.5e12
+
+
+def _sphere():
+    from graph_slam_tpu.datasets import make_sphere_graph
+
+    return make_sphere_graph(n_poses=N_POSES, edges_per_pose=EDGES_PER_POSE,
+                             seed=0, dtype=jnp.float32, bucket=256)
+
+
+def _chained_time(call, values, n_calls=N_CALLS):
+    """Warm up once, then time serially chained calls (anti-caching)."""
+    res_warm = call(values)
+    jax.block_until_ready(res_warm.error)
+    v = values
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        v = v._replace(pose_t=v.pose_t + 1e-4)  # force fresh computation
+        res = call(v)
+        v = res.values
+    jax.block_until_ready(res.error)
+    return time.perf_counter() - t0, res_warm
+
+
+def _flops_estimate(jitted_call, *args, **kwargs):
+    """XLA cost analysis of the compiled headline program (no execution).
+
+    NOTE: XLA counts scan/while bodies once, so this UNDERCOUNTS programs
+    dominated by loop trips; report alongside the structural estimate.
+    """
+    try:
+        compiled = jitted_call.lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _structural_flops_per_gn_iter(graph, pcg_iters):
+    """Hand-counted FLOPs of one GN iteration on a between-factor graph.
+
+    Dominant terms (F = active between factors, e = 6 residual dims,
+    td = 12 tangent cols): linearized block outer products J^T J
+    (2 F e td^2), per-CG-iteration block matvecs (2 F td^2 each), the
+    gradient, and the retract. Linearization itself (analytic between
+    Jacobians) is ~2k flops/factor.
+    """
+    import numpy as np
+
+    F = int(np.asarray(graph.between.active).sum())
+    e, td = 6, 12
+    jtj = 2 * F * e * td * td
+    grad = 2 * F * e * td
+    lin = 2000 * F
+    cg = pcg_iters * (2 * F * td * td + 6 * F * td)
+    return jtj + grad + lin + cg
+
+
+# ---------------------------------------------------------------------------
+# secondary benchmarks (each runs in its own subprocess)
+
+
+def bench_ba_schur():
+    """10k-landmark BA stress config, ms per GN iteration.
+
+    The Schur landmark elimination cancels catastrophically in pure f32
+    (ba_solve.py precision note), so the f64 reduction is only available
+    with x64 (CPU parity runs). On f32-only accelerators the TPU-native BA
+    solve is the matrix-free block-Jacobi PCG — that's what this benchmarks
+    on TPU; on x64-capable hosts it also reports the Schur variant.
+    """
+    from collections import namedtuple
+
+    from graph_slam_tpu.datasets import make_ba_graph
+    from graph_slam_tpu.graph import gn_optimize, total_error
+    from graph_slam_tpu.graph.ba_solve import ba_gn_optimize
+
+    graph, values, _ = make_ba_graph(n_poses=100, n_points=10000,
+                                     obs_per_point=4, seed=0,
+                                     dtype=jnp.float32, bucket=256)
+    e0 = float(total_error(graph, values))
+    iters = 4
+    Res = namedtuple("Res", "values error")
+    out = {"metric": "BA ms/GN-iter (100 poses, 10k landmarks, "
+                     "~40k projections)", "unit": "ms/iter", "chi2_0": e0}
+
+    def call_pcg(v):
+        return gn_optimize(graph, v, iterations=iters, solver="pcg",
+                           damping=1e-2, pcg_iters=25)
+
+    dt, res = _chained_time(call_pcg, values, n_calls=2)
+    ef = float(res.error)
+    assert ef < 0.1 * e0, f"BA PCG failed to converge: {e0} -> {ef}"
+    out["value"] = round(dt / (2 * iters) * 1e3, 3)
+    out["solver"] = "block-jacobi PCG-25 (f32, matrix-free)"
+    out["chi2_pcg"] = ef
+
+    if jax.config.read("jax_enable_x64"):
+        def call_schur(v):
+            o, err = ba_gn_optimize(graph, v, iterations=iters,
+                                    damping=1e-3)
+            return Res(o, err)
+
+        dt, res = _chained_time(call_schur, values, n_calls=2)
+        out["schur_ms_per_iter_f64"] = round(dt / (2 * iters) * 1e3, 3)
+        out["chi2_schur"] = float(res.error)
+    return out
+
+
+def bench_vio_replay():
+    """Flagship VIO replay throughput (online engine, IMU+VO, no planes)."""
+    import numpy as np
+    from graph_slam_tpu.core import se3
+    from graph_slam_tpu.imu import (ImuStream, init_preint,
+                                    integrate_segment, predict_navstate,
+                                    vn100_params)
+    from graph_slam_tpu.io.vro_log import VROLog
+    from graph_slam_tpu.pipelines.vio import VioConfig, run_vio
+
+    n_frames, per = 100, 20
+    r = np.random.default_rng(0)
+    params = vn100_params()
+    dt = 1.0 / 200.0
+    n_meas = n_frames * per + 10
+    acc = (r.normal(size=(n_meas, 3)) * 0.1 - np.asarray(params.gravity))
+    gyr = r.normal(size=(n_meas, 3)) * 0.1
+    for k in range(1, n_meas):
+        acc[k] = 0.9 * acc[k - 1] + 0.1 * acc[k]
+        gyr[k] = 0.9 * gyr[k - 1] + 0.1 * gyr[k]
+    stream = ImuStream(t=np.arange(n_meas) * dt, acc=acc, gyr=gyr, dt=dt)
+    X, V = [se3.identity()], [jnp.zeros(3)]
+    for f in range(1, n_frames):
+        st = integrate_segment(init_preint(jnp.zeros(6), params),
+                               jnp.asarray(acc[(f - 1) * per:f * per]),
+                               jnp.asarray(gyr[(f - 1) * per:f * per]),
+                               jnp.full(per, dt), params)
+        Xj, vj = predict_navstate(st, X[-1], V[-1], jnp.zeros(6),
+                                  params.gravity)
+        X.append(Xj)
+        V.append(vj)
+    info = np.diag([8e3] * 3 + [2500.0] * 3)
+    rows = [(f, f - 1, np.asarray(se3.logmap(se3.between(X[f - 1], X[f]))),
+             info) for f in range(1, n_frames)]
+    log = VROLog(np.asarray([x[0] for x in rows]),
+                 np.asarray([x[1] for x in rows]),
+                 np.stack([x[2] for x in rows]),
+                 np.stack([x[3] for x in rows]))
+    times = {f: f * per * dt for f in range(n_frames)}
+    cfg = VioConfig(plane_mode="off", optimize_step=10, max_imu_window=64,
+                    bucket=128, engine="online", final_batch=True)
+    t0 = time.perf_counter()
+    res = run_vio(log, times, stream, params, cfg=cfg)
+    wall = time.perf_counter() - t0
+    # second replay: everything compiled, the steady-state number
+    t0 = time.perf_counter()
+    res = run_vio(log, times, stream, params, cfg=cfg)
+    wall_warm = time.perf_counter() - t0
+    return {"metric": "VIO replay frames/sec (online engine, IMU preint + "
+                      "VO edges + incremental GN every 10 frames)",
+            "value": round(n_frames / wall_warm, 2), "unit": "frames/sec",
+            "cold_frames_per_sec": round(n_frames / wall, 2),
+            "chi2": res.error}
+
+
+def bench_gather_pcg():
+    """Headline config with the incidence-gather PCG (scatter-free) path."""
+    from graph_slam_tpu.graph import gn_optimize, total_error
+    from graph_slam_tpu.graph.sparsity import build_incidence
+
+    graph, values, _ = _sphere()
+    inc = build_incidence(graph, values)
+
+    def call(v):
+        return gn_optimize(graph, v, iterations=ITERS_PER_CALL,
+                           solver="pcg", damping=1e-3, pcg_iters=PCG_ITERS,
+                           inc=inc)
+
+    dt, res = _chained_time(call, values)
+    e0 = float(total_error(graph, values))
+    assert float(res.error) < 0.1 * e0
+    return {"metric": "GN iters/sec, gather-only (incidence) PCG variant",
+            "value": round(N_CALLS * ITERS_PER_CALL / dt, 3),
+            "unit": "GN iters/sec"}
+
+
+def bench_dispatch():
+    """Per-call dispatch overhead: time 1-iteration calls of the headline
+    program; device time/iter then falls out against the headline."""
+    from graph_slam_tpu.graph import gn_optimize
+
+    graph, values, _ = _sphere()
+
+    def call(v):
+        return gn_optimize(graph, v, iterations=1, solver="pcg",
+                           damping=1e-3, pcg_iters=PCG_ITERS)
+
+    dt, _ = _chained_time(call, values, n_calls=8)
+    return {"metric": "single-GN-iteration call latency (dispatch + 1 iter)",
+            "value": round(dt / 8 * 1e3, 3), "unit": "ms/call"}
+
+
+SECONDARY = {
+    "ba_schur": bench_ba_schur,
+    "vio_replay": bench_vio_replay,
+    "gather_pcg": bench_gather_pcg,
+    "dispatch": bench_dispatch,
+}
+
+
+def _run_secondary(name: str, timeout: float = 1200):
+    env = dict(os.environ)
+    here = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", name],
+            env=env, capture_output=True, text=True, timeout=timeout)
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        return {"error": (out.stderr or out.stdout)[-400:]}
+    except Exception as e:  # never fail the headline on a secondary
+        return {"error": str(e)[:400]}
+
 
 def main():
-    from graph_slam_tpu.datasets import make_sphere_graph
     from graph_slam_tpu.graph import gn_optimize, total_error
 
-    graph, values, _ = make_sphere_graph(
-        n_poses=N_POSES, edges_per_pose=EDGES_PER_POSE, seed=0,
-        dtype=jnp.float32, bucket=256,
-    )
+    graph, values, _ = _sphere()
 
     def call(v):
         return gn_optimize(graph, v, iterations=ITERS_PER_CALL,
                            solver="pcg", damping=1e-3, pcg_iters=PCG_ITERS)
 
-    # warm up / compile. NOTE: no other program may run between this and the
-    # timed loop — executing a different compiled program (even a cheap
-    # total_error) degrades the remote-execution pipeline ~8x on this image.
-    res_warm = call(values)
-    jax.block_until_ready(res_warm.error)
+    # FLOP estimate from the compiled program (no execution, relay-safe:
+    # exactly the timed program, so the compile cache is shared)
+    flops = _flops_estimate(
+        gn_optimize, graph, values, iterations=ITERS_PER_CALL,
+        solver="pcg", damping=1e-3, pcg_iters=PCG_ITERS)
 
-    # timed, serially chained (each call consumes the previous output)
-    v = values
-    t0 = time.perf_counter()
-    for _ in range(N_CALLS):
-        v = v._replace(pose_t=v.pose_t + 1e-4)  # force fresh computation
-        res = call(v)
-        v = res.values
-    jax.block_until_ready(res.error)
-    dt = time.perf_counter() - t0
+    dt, res_warm = _chained_time(call, values)
 
-    # correctness checks after timing
     e0 = float(total_error(graph, values))
     e_final = float(res_warm.error)
     assert e_final < 0.1 * e0, f"GN failed to converge: {e0} -> {e_final}"
 
     iters_per_sec = N_CALLS * ITERS_PER_CALL / dt
+    extra = {}
+    per_iter_struct = _structural_flops_per_gn_iter(graph, PCG_ITERS)
+    extra["flops_per_gn_iter_est"] = per_iter_struct
+    extra["mfu_pct"] = round(
+        100.0 * per_iter_struct * iters_per_sec / PEAK_F32_FLOPS, 5)
+    if flops:
+        extra["flops_per_gn_iter_xla"] = round(flops / ITERS_PER_CALL)
+    for name in ("ba_schur", "vio_replay", "gather_pcg", "dispatch"):
+        extra[name] = _run_secondary(name)
+    if isinstance(extra.get("dispatch"), dict) and \
+            "value" in extra["dispatch"]:
+        # ms/call(1 iter) vs headline ms/iter -> dispatch overhead estimate
+        per_iter_ms = 1e3 / iters_per_sec
+        extra["dispatch"]["device_ms_per_iter_headline"] = round(
+            per_iter_ms, 3)
+        extra["dispatch"]["overhead_ms_est"] = round(
+            max(0.0, extra["dispatch"]["value"] - per_iter_ms), 3)
+
     print(json.dumps({
         "metric": f"GN iterations/sec on sphere{N_POSES} SE(3) pose graph "
                   f"(PCG-{PCG_ITERS} solver, "
@@ -74,10 +314,14 @@ def main():
         "value": round(iters_per_sec, 3),
         "unit": "GN iters/sec",
         "vs_baseline": round(iters_per_sec / BASELINE_G2O_ITERS_PER_SEC, 2),
+        "extra": extra,
     }))
     print(f"# chi2 {e0:.2f} -> {e_final:.2f} after {ITERS_PER_CALL} GN iters",
           file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--single":
+        print(json.dumps(SECONDARY[sys.argv[2]]()))
+    else:
+        main()

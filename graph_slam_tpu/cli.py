@@ -12,11 +12,22 @@ executables + ROS launch files (params come from flags or a JSON config,
       (convert_vo2ba)
   python -m graph_slam_tpu merge      --ba a.log --vro b.log --matches m.log
   python -m graph_slam_tpu diff       --log1 a.log --log2 b.log
-  python -m graph_slam_tpu map        --traj trajectory.log --out map.pcd
-      (mapping_PCD / mapping_PLY; needs an image provider module)
+  python -m graph_slam_tpu g2o        --input graph.g2o --out-dir out/
+      (standard g2o pose-graph ingest + LM; known-optimum parity runs)
+  python -m graph_slam_tpu map        --traj trajectory.log --frames DIR
+      --out map.pcd|map.ply           (mapping_PCD / mapping_PLY)
+  python -m graph_slam_tpu video      --traj trajectory.log --frames DIR
+      --out-dir snaps/                (map_video snapshot replay)
+  python -m graph_slam_tpu ba-imu     --frames DIR --seqs 0:40 [--imu ...]
+      (test_ba_imu_graph)
+  python -m graph_slam_tpu plane-check --vro ... --frames DIR
+      (test_plane_check_vo)
   python -m graph_slam_tpu mesh       --pcd map.pcd --out mesh.ply
   python -m graph_slam_tpu filter     --pcd map.pcd --out filtered.pcd
   python -m graph_slam_tpu bench      (sphere2500 GN throughput)
+
+Frame directories hold ``.gsf`` files named ``{seq:07d}.gsf``
+(``io.frames.FrameStore``); ``--camera`` picks the intrinsics preset.
 """
 
 from __future__ import annotations
@@ -133,6 +144,127 @@ def cmd_diff(args):
           f"max |dt|={np.nanmax(dt):.6f} max |dr|={np.nanmax(dr):.6f}")
 
 
+def _camera(args):
+    from .config import RS435, SR4000
+
+    return {"sr4000": SR4000, "rs435": RS435}[args.camera]
+
+
+def cmd_g2o(args):
+    from .graph import LMParams
+    from .io import write_trajectory
+    from .pipelines import run_g2o_file, trajectory_arrays
+
+    res = run_g2o_file(args.input, LMParams())
+    print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
+          f"({res.iterations} LM iterations, {len(res.seq_ids)} vertices)")
+    os.makedirs(args.out_dir, exist_ok=True)
+    ids, t, q, seq = trajectory_arrays(res.values, res.seq_ids)
+    write_trajectory(os.path.join(args.out_dir, "trajectory.log"),
+                     ids, t, q, seq)
+    print(f"wrote {args.out_dir}/trajectory.log")
+
+
+def cmd_map(args):
+    from .core import extrinsics
+    from .io import read_trajectory, write_ply_points
+    from .io.frames import FrameStore
+    from .mapping import accumulate_cloud, voxel_filter, write_pcd
+
+    traj = read_trajectory(args.traj)
+    store = FrameStore(args.frames)
+    u2c = extrinsics.camera_to_imu(args.pitch) if args.imu_frame else None
+    pts, cols = accumulate_cloud(traj, store, _camera(args), u2c=u2c,
+                                 stride=args.stride, skip=args.skip)
+    if args.voxel:
+        pts, cols = voxel_filter(pts, cols, voxel=args.voxel)
+    if args.out.endswith(".ply"):
+        write_ply_points(args.out, pts, cols)
+    else:
+        write_pcd(args.out, pts, cols)
+    print(f"wrote {args.out} ({len(pts)} points)")
+
+
+def cmd_video(args):
+    from .io import read_trajectory
+    from .io.frames import FrameStore
+    from .mapping import incremental_map_video
+
+    trajs = [read_trajectory(p) for p in args.traj]
+    store = FrameStore(args.frames)
+    snaps = incremental_map_video(trajs if len(trajs) > 1 else trajs[0],
+                                  store, _camera(args), args.out_dir,
+                                  every=args.every, voxel=args.voxel)
+    print(f"wrote {len(snaps)} snapshots to {args.out_dir}")
+
+
+def cmd_ba_imu(args):
+    from .imu import read_vn100_log, vn100_params
+    from .io.frames import FrameStore
+    from .pipelines.ba_imu import (
+        BaImuConfig,
+        features_from_store,
+        run_ba_imu,
+    )
+
+    lo, hi = (int(x) for x in args.seqs.split(":")[:2])
+    step = int(args.seqs.split(":")[2]) if args.seqs.count(":") == 2 else 1
+    seqs = list(range(lo, hi, step))
+    store = FrameStore(args.frames)
+    K = _camera(args)
+    frames, matches = features_from_store(store, seqs, K)
+    stream = iparams = None
+    times = {}
+    if args.imu:
+        stream = read_vn100_log(args.imu)
+        iparams = vn100_params()
+        with open(args.times) as f:
+            for line in f:
+                tok = line.split()
+                if len(tok) >= 2:
+                    times[int(tok[0])] = float(tok[1])
+    cfg = BaImuConfig(use_imu=bool(args.imu))
+    res = run_ba_imu(frames, matches, times.get, stream, iparams, K,
+                     cfg=cfg)
+    print(f"chi2 {res.error0:.6f} -> {res.error:.6f} "
+          f"(proj={res.n_projection_factors} landmarks={res.n_landmarks} "
+          f"imu={res.n_imu_factors})")
+
+
+def cmd_plane_check(args):
+    import jax
+
+    from .io import read_vro_log
+    from .io.frames import FrameStore
+    from .pipelines import check_vo_edges
+    from .planes import extract_plane_node
+
+    log = read_vro_log(args.vro)
+    store = FrameStore(args.frames)
+    K = _camera(args)
+    cache = {}
+    keyring = [jax.random.PRNGKey(0)]
+
+    def planes_of(seq):
+        if seq not in cache:
+            fr = store(seq)
+            if fr is None:
+                cache[seq] = ([], [])
+            else:
+                keyring[0], k = jax.random.split(keyring[0])
+                det = extract_plane_node(k, K, fr[0], fr[1],
+                                         max_planes=args.max_planes)
+                cache[seq] = ([], []) if det is None else \
+                    (list(det.params), list(det.cov))
+        return cache[seq]
+
+    rows = check_vo_edges(log, planes_of, out_path=args.out)
+    bad = sum(1 for r in rows if r[2] > 0 and r[3] > args.thresh)
+    print(f"scored {len(rows)} edges, {bad} above Mahalanobis {args.thresh}")
+    if args.out:
+        print(f"wrote {args.out}")
+
+
 def cmd_mesh(args):
     from .mapping import pcd_to_mesh, read_pcd
 
@@ -217,6 +349,51 @@ def main(argv=None):
     s.add_argument("--log1", required=True)
     s.add_argument("--log2", required=True)
     s.set_defaults(fn=cmd_diff)
+
+    s = sub.add_parser("g2o", help="ingest + optimize a standard .g2o pose graph")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out-dir", default="out")
+    s.set_defaults(fn=cmd_g2o)
+
+    s = sub.add_parser("map", help="trajectory + frames -> PCD/PLY map")
+    s.add_argument("--traj", required=True)
+    s.add_argument("--frames", required=True, help=".gsf frame directory")
+    s.add_argument("--out", required=True, help=".pcd or .ply output")
+    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--stride", type=int, default=7)
+    s.add_argument("--skip", type=int, default=2)
+    s.add_argument("--voxel", type=float, default=0.0)
+    s.add_argument("--pitch", type=float, default=0.0)
+    s.add_argument("--imu-frame", action="store_true")
+    s.set_defaults(fn=cmd_map)
+
+    s = sub.add_parser("video", help="incremental map snapshot replay")
+    s.add_argument("--traj", required=True, nargs="+",
+                   help="one or more trajectory logs (mtraj overlay)")
+    s.add_argument("--frames", required=True)
+    s.add_argument("--out-dir", default="snaps")
+    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--every", type=int, default=5)
+    s.add_argument("--voxel", type=float, default=0.05)
+    s.set_defaults(fn=cmd_video)
+
+    s = sub.add_parser("ba-imu", help="BA(+IMU) over a frame sequence")
+    s.add_argument("--frames", required=True)
+    s.add_argument("--seqs", required=True, help="lo:hi[:step] sequence ids")
+    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--imu", help="VN100 log (optional)")
+    s.add_argument("--times", help="'seq_id timestamp' lines (with --imu)")
+    s.set_defaults(fn=cmd_ba_imu)
+
+    s = sub.add_parser("plane-check",
+                       help="plane-consistency scoring of VO edges")
+    s.add_argument("--vro", required=True)
+    s.add_argument("--frames", required=True)
+    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--max-planes", type=int, default=4)
+    s.add_argument("--thresh", type=float, default=100.0)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_plane_check)
 
     s = sub.add_parser("mesh", help="PCD -> triangle mesh PLY")
     s.add_argument("--pcd", required=True)

@@ -37,6 +37,10 @@ class SlamParams:
     initial_pitch_degree: float = 0.0
     optimizer: str = "lm"            # "lm" | "gn"
     incremental: bool = True         # ISAM2-equivalent incremental updates
+    # robust kernel on VO between-factors: None or "huber" (gtsam-style
+    # Huber(k) downweighting of corrupted edges / loop closures)
+    robust: Optional[str] = None
+    robust_k: float = 1.345
 
 
 @dataclasses.dataclass(frozen=True)

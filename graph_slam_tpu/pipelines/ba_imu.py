@@ -54,6 +54,40 @@ class BaImuResult:
     n_imu_factors: int
 
 
+def features_from_store(frames_provider, seq_ids, K,
+                        max_features: int = 256, ratio: float = 0.8):
+    """Build ``run_ba_imu``'s (frames, matches) inputs from raw RGB-D frames.
+
+    Extracts features per frame (the driver's featureExtraction role,
+    test_ba_imu_graph.cpp:79-120) and returns a consecutive-pair matcher
+    backed by the batched descriptor matmul.
+    """
+    import jax.numpy as _jnp
+
+    from ..vision.features import extract_features
+    from ..vision.matching import match_descriptors
+
+    ffs = []
+    frames_out = []
+    for s in seq_ids:
+        fr = frames_provider(int(s))
+        if fr is None:
+            raise FileNotFoundError(f"missing frame for seq {s}")
+        f = extract_features(K, _jnp.asarray(fr[0]), _jnp.asarray(fr[1]),
+                             max_features=max_features)
+        ffs.append(f)
+        frames_out.append({"uv": np.asarray(f.uv),
+                           "pts3": np.asarray(f.pts3)})
+
+    def matches(i, j):
+        idx, ok = match_descriptors(ffs[j].desc, ffs[i].desc, ratio=ratio)
+        ok = np.asarray(ok & ffs[j].valid & ffs[i].valid[idx])
+        idx = np.asarray(idx)
+        return [(int(idx[k]), int(k)) for k in np.nonzero(ok)[0]]
+
+    return frames_out, matches
+
+
 def run_ba_imu(frames, matches: Callable, img_times,
                imu: Optional[ImuStream], imu_params: Optional[ImuParams],
                cal: CameraIntrinsics, u2c: Optional[se3.Pose] = None,

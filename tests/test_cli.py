@@ -1,0 +1,123 @@
+"""CLI driver-tier end-to-end smoke (VERDICT ask #8).
+
+One synthetic scenario exercises the full executable surface in a tmpdir:
+VRO log -> posegraph -> trajectory -> map (PCD + PLY) -> mesh -> video
+snapshots -> plane-check -> ba-imu -> g2o ingest. All subcommands run as
+real subprocesses (``python -m graph_slam_tpu ...``) on CPU.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_pipelines2 import render_wall_frame
+from graph_slam_tpu.config import SR4000
+from graph_slam_tpu.core import se3
+from graph_slam_tpu.io import read_trajectory, write_vro_log
+from graph_slam_tpu.io.frames import FrameStore
+from graph_slam_tpu.io.vro_log import VROLog
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDENS = os.path.join(REPO, "tests", "goldens")
+
+
+def run_cli(*args, timeout=420):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-m", "graph_slam_tpu", *args],
+                         env=env, capture_output=True, text=True,
+                         timeout=timeout, cwd=REPO)
+    assert out.returncode == 0, (args, out.stdout[-800:], out.stderr[-800:])
+    return out.stdout
+
+
+@pytest.fixture(scope="module")
+def scenario(tmp_path_factory):
+    """5-frame translating-camera scene: .gsf frames + VRO log on disk."""
+    root = tmp_path_factory.mktemp("cli")
+    frames_dir = root / "frames"
+    store = FrameStore(str(frames_dir))
+    xs = [0.0, 0.12, 0.24, 0.36, 0.48]
+    for k, x in enumerate(xs):
+        img, depth = render_wall_frame(SR4000, np.array([x, 0.0, 0.0]))
+        store.save(k, img, depth)
+    # NB: info(0,0) == 1e4 would collide with the failed-edge sentinel
+    info = np.diag([8e3] * 3 + [4e3] * 3)
+    rows = []
+    for k in range(1, len(xs)):
+        T = se3.Pose(jnp.eye(3), jnp.array([xs[k] - xs[k - 1], 0.0, 0.0]))
+        rows.append((k, k - 1, np.asarray(se3.logmap(T)), info))
+    log = VROLog(np.asarray([r[0] for r in rows]),
+                 np.asarray([r[1] for r in rows]),
+                 np.stack([r[2] for r in rows]),
+                 np.stack([r[3] for r in rows]))
+    vro_path = root / "vro.log"
+    write_vro_log(str(vro_path), log)
+    return root, str(frames_dir), str(vro_path), xs
+
+
+class TestCliEndToEnd:
+    def test_posegraph_map_mesh_video(self, scenario):
+        root, frames_dir, vro_path, xs = scenario
+        out_dir = str(root / "out")
+        stdout = run_cli("posegraph", "--vro", vro_path,
+                         "--out-dir", out_dir)
+        assert "chi2" in stdout
+        traj_path = os.path.join(out_dir, "trajectory.log")
+        traj = read_trajectory(traj_path)
+        assert len(traj.ids) == len(xs)
+
+        # map -> PCD and PLY
+        pcd = str(root / "map.pcd")
+        run_cli("map", "--traj", traj_path, "--frames", frames_dir,
+                "--out", pcd, "--stride", "1", "--voxel", "0.05")
+        assert os.path.getsize(pcd) > 1000
+        ply = str(root / "map.ply")
+        run_cli("map", "--traj", traj_path, "--frames", frames_dir,
+                "--out", ply, "--stride", "2")
+        assert open(ply).readline().strip() == "ply"
+
+        # mesh from the map
+        mesh = str(root / "mesh.ply")
+        run_cli("mesh", "--pcd", pcd, "--out", mesh)
+        assert os.path.getsize(mesh) > 200
+
+        # filter round trip
+        filt = str(root / "map_f.pcd")
+        run_cli("filter", "--pcd", pcd, "--out", filt, "--voxel", "0.1")
+        assert os.path.exists(filt)
+
+        # video snapshots
+        snaps = str(root / "snaps")
+        out = run_cli("video", "--traj", traj_path, "--frames", frames_dir,
+                      "--out-dir", snaps, "--every", "2")
+        assert "snapshots" in out
+        assert any(f.endswith(".ply") for f in os.listdir(snaps))
+
+    def test_plane_check(self, scenario):
+        root, frames_dir, vro_path, xs = scenario
+        out = str(root / "plane_check.log")
+        stdout = run_cli("plane-check", "--vro", vro_path,
+                         "--frames", frames_dir, "--out", out)
+        assert "scored 4 edges" in stdout
+        assert os.path.exists(out)
+
+    def test_ba_imu(self, scenario):
+        root, frames_dir, vro_path, xs = scenario
+        stdout = run_cli("ba-imu", "--frames", frames_dir,
+                         "--seqs", f"0:{len(xs)}")
+        assert "chi2" in stdout and "proj=" in stdout
+
+    def test_g2o(self, scenario, tmp_path):
+        stdout = run_cli("g2o", "--input",
+                         os.path.join(GOLDENS, "sphere200_noisy.g2o"),
+                         "--out-dir", str(tmp_path))
+        assert "200 vertices" in stdout
+        traj = read_trajectory(str(tmp_path / "trajectory.log"))
+        assert len(traj.ids) == 200
