@@ -265,6 +265,14 @@ def cmd_plane_check(args):
         print(f"wrote {args.out}")
 
 
+def cmd_convert_frames(args):
+    from .io import convert_bdat_dir
+
+    n = convert_bdat_dir(args.src, args.dst, suffix=args.suffix,
+                         layout=args.layout)
+    print(f"converted {n} frames -> {args.dst}")
+
+
 def cmd_mesh(args):
     from .mapping import pcd_to_mesh, read_pcd
 
@@ -394,6 +402,15 @@ def main(argv=None):
     s.add_argument("--thresh", type=float, default=100.0)
     s.add_argument("--out")
     s.set_defaults(fn=cmd_plane_check)
+
+    s = sub.add_parser("convert-frames",
+                       help="SR4000 .bdat dataset -> .gsf frame directory")
+    s.add_argument("--src", required=True)
+    s.add_argument("--dst", required=True)
+    s.add_argument("--suffix", default="bdat")
+    s.add_argument("--layout", choices=["zxyi", "zf_i", "z_i"],
+                   help="override the auto-detected .bdat layout")
+    s.set_defaults(fn=cmd_convert_frames)
 
     s = sub.add_parser("mesh", help="PCD -> triangle mesh PLY")
     s.add_argument("--pcd", required=True)

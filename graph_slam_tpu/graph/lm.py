@@ -62,6 +62,7 @@ class LMResult(NamedTuple):
     iterations: jnp.ndarray
     lam: jnp.ndarray
     converged: jnp.ndarray
+    history: jnp.ndarray | None = None   # (iters,) chi2 after each GN step
 
 
 def _solvers(blocks, mask, params: LMParams, inc: Incidence | None = None):
@@ -235,13 +236,14 @@ def lm_optimize(graph: FactorGraph, values: VariableArena,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "solver", "damping", "pcg_iters"),
+    static_argnames=("iterations", "solver", "damping", "pcg_iters",
+                     "return_history"),
 )
 def gn_optimize(graph: FactorGraph, values: VariableArena,
                 iterations: int = 10, solver: str = "dense",
                 damping: float = 0.0, pcg_iters: int = 250,
                 inc: Incidence | None = None,
-                update_mask=None) -> LMResult:
+                update_mask=None, return_history: bool = False) -> LMResult:
     """Plain Gauss–Newton with a fixed trip count — the throughput benchmark
     unit ("GN-iteration throughput" target in BASELINE.md).
 
@@ -263,10 +265,12 @@ def gn_optimize(graph: FactorGraph, values: VariableArena,
                       for r, J, cols in blocks]
         solve_fn, _, _ = _solvers(blocks, mask, params, inc)
         delta = solve_fn(jnp.asarray(damping, vals.pose_t.dtype))
-        return retract_all(vals, delta), None
+        new_vals = retract_all(vals, delta)
+        y = total_error(graph, new_vals) if return_history else None
+        return new_vals, y
 
-    values, _ = jax.lax.scan(body, values, None, length=iterations)
-    err = total_error(graph, values)
+    values, hist = jax.lax.scan(body, values, None, length=iterations)
+    err = hist[-1] if return_history else total_error(graph, values)
     return LMResult(values, err, jnp.asarray(iterations, jnp.int32),
                     jnp.asarray(damping, values.pose_t.dtype),
-                    jnp.ones((), bool))
+                    jnp.ones((), bool), hist)

@@ -88,6 +88,10 @@ class OnlineSlam:
         self._values = None
         self._n_since_opt = 0
         self._sequence = 0
+        from ..utils.profiling import Chi2Log, PhaseTimer
+
+        self.chi2_log = Chi2Log()
+        self.timers = PhaseTimer()
 
     def _between_cap(self, pose_cap: int) -> int:
         return round_up(pose_cap * (self.params.lookback_nodes + 1), 64)
@@ -217,11 +221,16 @@ class OnlineSlam:
 
     def optimize(self, lm_params: LMParams = LMParams()):
         """Batch optimize on the live arenas (optimizeGraphBatch) — no host
-        rebuild; the optimized values become the estimator state."""
-        res = lm_optimize(self.og.graph, self.og.values, lm_params)
+        rebuild; the optimized values become the estimator state. Logs chi2
+        before/after (the test_gt_graph.cpp:113-117 pattern)."""
+        before = self.og.error()
+        with self.timers("optimize"):
+            res = lm_optimize(self.og.graph, self.og.values, lm_params)
         self.og.values = res.values
         self._values = res.values
         self._n_since_opt = 0
+        self.chi2_log.add(self._sequence, len(self.frames), before,
+                          float(res.error))
         return float(res.error)
 
     def error(self) -> float:

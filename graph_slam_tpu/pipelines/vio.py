@@ -93,6 +93,8 @@ class VioConfig:
     max_planes: int = 4
     min_plane_support: int = 300
     seed: int = 0
+    # observability (SURVEY §5): jax.profiler trace dir + chi2-per-update log
+    trace_dir: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -106,6 +108,8 @@ class VioResult:
     n_vo_edges: int
     n_plane_factors: int
     plane_book: Optional[PlaneLandmarkBook]
+    chi2_log: object = None       # utils.profiling.Chi2Log
+    timers: Optional[dict] = None  # PhaseTimer.summary()
 
 
 class _OnlineVioGraph:
@@ -377,6 +381,17 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
             plane_nodes[gid] = det
         return det
 
+    # observability: per-phase wall timers + chi2-per-update records +
+    # optional jax.profiler trace over the whole replay (SURVEY §5)
+    import contextlib
+
+    from ..utils.profiling import Chi2Log, PhaseTimer, trace_context
+
+    chi2_log = Chi2Log()
+    pt = PhaseTimer()
+    _stack = contextlib.ExitStack()
+    _stack.enter_context(trace_context(cfg.trace_dir))
+
     log_order = range(len(log))
     for k in log_order:
         id_to = int(log.id_to[k])
@@ -396,9 +411,10 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
 
         if id_to not in seq2graph:
             # --- new frame ---------------------------------------------
-            st = integrate_to(id_to)
-            pred_pose, pred_vel = predict_navstate(
-                st, prev_pose, prev_vel, prev_bias, imu_params.gravity)
+            with pt("imu_preint"):
+                st = integrate_to(id_to)
+                pred_pose, pred_vel = predict_navstate(
+                    st, prev_pose, prev_vel, prev_bias, imu_params.gravity)
 
             T, info_b = _conjugate_edge(log.xi[k], info, u2c)
 
@@ -479,17 +495,19 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
 
         # --- periodic incremental optimization + feedback ---------------
         if cfg.feedback and len(seq_ids) % cfg.optimize_step == 0:
-            if online:
-                # zero-recompile update on the live arenas; og.values IS the
-                # estimator state (no write-back needed)
-                res = inc.update(b.og)
-                vals = b.og.values
-            else:
-                graph, values = b.build(bucket=cfg.bucket)
-                res = gn_optimize(graph, values,
-                                  iterations=cfg.incremental_iters,
-                                  solver="dense", damping=1e-6)
-                vals = res.values
+            with pt("optimize"):
+                if online:
+                    # zero-recompile update on the live arenas; og.values IS
+                    # the estimator state (no write-back needed)
+                    res = inc.update(b.og)
+                    vals = b.og.values
+                else:
+                    graph, values = b.build(bucket=cfg.bucket)
+                    res = gn_optimize(graph, values,
+                                      iterations=cfg.incremental_iters,
+                                      solver="dense", damping=1e-6)
+                    vals = res.values
+            chi2_log.add(k, len(seq_ids), None, float(res.error))
             j = len(seq_ids) - 1
             prev_pose = se3.Pose(vals.pose_R[j], vals.pose_t[j])
             prev_vel = vals.vel[j]
@@ -508,13 +526,17 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
         graph, values = b.build(bucket=cfg.bucket)
     e0 = float(total_error(graph, values))
     if cfg.final_batch:
-        res = lm_optimize(graph, values, lm_params)
+        with pt("final_batch"):
+            res = lm_optimize(graph, values, lm_params)
         values = res.values
         err = float(res.error)
     else:
         err = e0
+    chi2_log.add(len(log), len(seq_ids), e0, err)
+    _stack.close()
 
     return VioResult(values=values, graph=graph,
                      seq_ids=np.asarray(seq_ids), error0=e0, error=err,
                      n_imu_factors=n_imu, n_vo_edges=n_vo,
-                     n_plane_factors=n_plane, plane_book=book)
+                     n_plane_factors=n_plane, plane_book=book,
+                     chi2_log=chi2_log, timers=pt.summary())

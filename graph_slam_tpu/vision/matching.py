@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..core import se3, so3
 
 __all__ = ["MatchingResult", "match_descriptors", "umeyama", "ransac_rigid",
-           "vo_information"]
+           "pnp_ransac", "vo_information"]
 
 
 @dataclasses.dataclass
@@ -125,6 +125,81 @@ def ransac_rigid(key, pts_src, pts_dst, valid, n_hyp: int = 2048,
     Rb, tb, m2 = refit(m1)
     ok = jnp.sum(m2) >= min_inliers
     return Rb, tb, m2, ok
+
+
+@partial(jax.jit, static_argnames=("n_hyp", "gn_iters"))
+def pnp_ransac(key, pts_i, uv_j, valid, cal, n_hyp: int = 512,
+               inlier_px: float = 3.0, min_inliers: int = 12,
+               gn_iters: int = 10):
+    """Batched RANSAC-PnP: 3D points in frame i vs pixels in frame j.
+
+    The role of the frontend's PnP match path (``camera_node_pnp.h`` /
+    ``test_match_PnP.cpp``, SURVEY §2.6) for matches without depth in the
+    new frame. TPU formulation: instead of a closed-form minimal P3P,
+    every 4-point hypothesis runs a fixed-trip Gauss-Newton on the se(3)
+    chart of T_ji (``p_j = T_ji p_i``) from identity — all hypotheses in
+    one vmap; XLA batches the 6x6 solves. Valid for the VO regime (small
+    inter-frame motion); scoring is one (n_hyp, N) reprojection pass.
+
+    Returns (R_ij, t_ij, inlier_mask, ok) — the pose of frame j in frame i,
+    the frontend convention.
+    """
+    from .cal3ds2 import project_point
+
+    n = pts_i.shape[0]
+    dtype = pts_i.dtype
+    probs = valid.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    samp = jax.random.categorical(
+        key, jnp.log(probs + 1e-30), shape=(n_hyp, 4))
+    p4 = pts_i[samp]                       # (n_hyp, 4, 3)
+    u4 = uv_j[samp]                        # (n_hyp, 4, 2)
+
+    def gn(pts, uv, w, iters, x0=None):
+        """Fixed-trip damped GN for xi (se3 chart of T_ji), weighted."""
+
+        def res_fn(x):
+            T = se3.expmap(x)
+            pc = se3.transform_from(T, pts)
+            return ((project_point(cal, pc) - uv)
+                    * w[:, None]).reshape(-1)
+
+        def step(x, _):
+            r = res_fn(x)
+            J = jax.jacfwd(res_fn)(x)
+            H = J.T @ J + 1e-4 * jnp.eye(6, dtype=dtype)
+            x = x - jnp.linalg.solve(H, J.T @ r)
+            return x, None
+
+        x0 = jnp.zeros(6, dtype) if x0 is None else x0
+        x, _ = jax.lax.scan(step, x0, None, length=iters)
+        return x
+
+    xi_h = jax.vmap(
+        lambda p, u: gn(p, u, jnp.ones(4, dtype), gn_iters))(p4, u4)
+
+    # score every hypothesis: one (n_hyp, N, 2) reprojection
+    T_h = se3.expmap(xi_h)                 # batched Pose
+    pc = jnp.einsum("hij,nj->hni", T_h.R, pts_i) + T_h.t[:, None, :]
+    uv_pred = project_point(cal, pc.reshape(-1, 3)).reshape(n_hyp, n, 2)
+    err = jnp.linalg.norm(uv_pred - uv_j[None], axis=-1)
+    behind = pc[..., 2] < 1e-3
+    inl = (err < inlier_px) & valid[None, :] & ~behind
+    best = jnp.argmax(jnp.sum(inl, axis=1))
+
+    # refit on the best inlier set, twice (warm-started)
+    def refit(xi0, mask):
+        xi = gn(pts_i, uv_j, mask.astype(dtype), gn_iters, x0=xi0)
+        T = se3.expmap(xi)
+        pcn = se3.transform_from(T, pts_i)
+        e = jnp.linalg.norm(project_point(cal, pcn) - uv_j, axis=-1)
+        return xi, (e < inlier_px) & valid & (pcn[..., 2] > 1e-3)
+
+    xi, m1 = refit(xi_h[best], inl[best])
+    xi, m2 = refit(xi, m1)
+    ok = jnp.sum(m2) >= min_inliers
+    T_ij = se3.inverse(se3.expmap(xi))
+    return T_ij.R, T_ij.t, m2, ok
 
 
 @jax.jit

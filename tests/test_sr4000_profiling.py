@@ -1,0 +1,129 @@
+"""SR4000 .bdat ingestion (all layouts + converter) and profiling hooks."""
+
+import json
+import os
+
+import numpy as np
+
+from graph_slam_tpu.io import convert_bdat_dir, read_bdat
+from graph_slam_tpu.io.frames import FrameStore
+from graph_slam_tpu.io.sr4000 import SR4000_SHAPE
+from graph_slam_tpu.utils.profiling import Chi2Log, PhaseTimer
+from test_vio import simulate
+
+
+H, W = SR4000_SHAPE
+
+
+def make_scene():
+    r = np.random.default_rng(0)
+    depth = r.uniform(0.5, 4.5, size=(H, W)).astype(np.float32)
+    amp = r.uniform(100, 40000, size=(H, W)).astype(np.uint16)
+    return depth, amp
+
+
+def write_bdat(path, depth, amp, layout, header=b""):
+    with open(path, "wb") as f:
+        f.write(header)
+        if layout == "zxyi":
+            f.write(depth.astype("<f4").tobytes())
+            f.write(np.zeros_like(depth, "<f4").tobytes())   # x
+            f.write(np.zeros_like(depth, "<f4").tobytes())   # y
+            f.write(amp.astype("<u2").tobytes())
+        elif layout == "zf_i":
+            f.write(depth.astype("<f4").tobytes())
+            f.write(amp.astype("<u2").tobytes())
+        elif layout == "z_i":
+            f.write((depth * 1000).astype("<u2").tobytes())
+            f.write(amp.astype("<u2").tobytes())
+
+
+class TestBdatReader:
+    def test_all_layouts_roundtrip(self, tmp_path):
+        depth, amp = make_scene()
+        for layout in ("zxyi", "zf_i", "z_i"):
+            p = str(tmp_path / f"{layout}.bdat")
+            write_bdat(p, depth, amp, layout)
+            inten, d = read_bdat(p, sqrt_intensity=False)
+            tol = 1e-3 if layout == "z_i" else 1e-6
+            np.testing.assert_allclose(d, depth, atol=tol)
+            np.testing.assert_allclose(inten, amp.astype(np.float32))
+
+    def test_header_autodetect(self, tmp_path):
+        depth, amp = make_scene()
+        p = str(tmp_path / "hdr.bdat")
+        write_bdat(p, depth, amp, "z_i", header=b"\x00" * 24)
+        inten, d = read_bdat(p, sqrt_intensity=False)
+        np.testing.assert_allclose(d, depth, atol=1e-3)
+
+    def test_sqrt_intensity_normalization(self, tmp_path):
+        depth, amp = make_scene()
+        p = str(tmp_path / "f.bdat")
+        write_bdat(p, depth, amp, "zf_i")
+        inten, _ = read_bdat(p, sqrt_intensity=True)
+        assert 254.0 <= inten.max() <= 255.0
+        assert inten.min() >= 0.0
+
+    def test_convert_dir_to_gsf(self, tmp_path):
+        depth, amp = make_scene()
+        src = tmp_path / "bdat"
+        src.mkdir()
+        for seq in (0, 3, 7):
+            write_bdat(str(src / f"{seq:07d}.bdat"), depth, amp, "z_i")
+        dst = str(tmp_path / "gsf")
+        n = convert_bdat_dir(str(src), dst)
+        assert n == 3
+        store = FrameStore(dst)
+        got = store(3)
+        assert got is not None
+        np.testing.assert_allclose(got[1], depth, atol=2e-3)
+        assert store(1) is None
+
+
+class TestProfiling:
+    def test_phase_timer_and_chi2_log(self, tmp_path):
+        pt = PhaseTimer()
+        with pt("a"):
+            pass
+        with pt("a"):
+            pass
+        s = pt.summary()
+        assert s["a"]["calls"] == 2 and s["a"]["total_s"] >= 0
+
+        log = Chi2Log()
+        log.add(0, 5, None, 1.5)
+        log.add(1, 6, 2.0, 0.5)
+        p = str(tmp_path / "chi2.jsonl")
+        log.write(p)
+        rows = [json.loads(x) for x in open(p)]
+        assert rows[1]["chi2_before"] == 2.0
+
+    def test_vio_emits_chi2_log_and_timers(self):
+        log, img_times, stream, params, X, V, _ = simulate(fail_frame=-1,
+                                                           seed=7)
+        from graph_slam_tpu.pipelines.vio import VioConfig, run_vio
+
+        res = run_vio(log, img_times, stream, params,
+                      cfg=VioConfig(plane_mode="off", optimize_step=3,
+                                    max_imu_window=64, bucket=16))
+        assert len(res.chi2_log.rows) >= 2      # updates + final batch
+        assert res.chi2_log.rows[-1][2] is not None   # final has before
+        assert "imu_preint" in res.timers
+        assert "optimize" in res.timers
+        assert "final_batch" in res.timers
+
+    def test_gn_history(self):
+        import jax.numpy as jnp
+
+        from graph_slam_tpu.datasets import make_sphere_graph
+        from graph_slam_tpu.graph import gn_optimize
+
+        graph, values, _ = make_sphere_graph(n_poses=16, edges_per_pose=2.0,
+                                             seed=1, dtype=jnp.float64,
+                                             bucket=8)
+        res = gn_optimize(graph, values, iterations=5, solver="dense",
+                          damping=1e-9, return_history=True)
+        h = np.asarray(res.history)
+        assert h.shape == (5,)
+        assert h[-1] <= h[0]
+        assert abs(h[-1] - float(res.error)) < 1e-12
