@@ -68,6 +68,20 @@ def cmd_posegraph(args):
                      ids, t, q, seq)
     write_trajectory_ply(os.path.join(args.out_dir, "trajectory.ply"), t)
     print(f"wrote {args.out_dir}/trajectory.log, trajectory.ply")
+    _report_vs_gt(args, t)
+
+
+def _report_vs_gt(args, est_t):
+    """Print ATE RMSE / RPE against a ground-truth trajectory log."""
+    if not getattr(args, "gt", None):
+        return
+    from .io import read_trajectory
+    from .utils.metrics import ate_rmse, rpe
+
+    gt = read_trajectory(args.gt)
+    n = min(len(est_t), len(gt.t))
+    print(f"ATE RMSE: {ate_rmse(est_t[:n], gt.t[:n]):.6f} m  "
+          f"RPE(1): {rpe(est_t[:n], gt.t[:n]):.6f} m")
 
 
 def cmd_vio(args):
@@ -105,6 +119,7 @@ def cmd_vio(args):
     write_trajectory(os.path.join(args.out_dir, "trajectory.log"),
                      ids, t, q, seq)
     print(f"wrote {args.out_dir}/trajectory.log")
+    _report_vs_gt(args, t)
 
 
 def cmd_convert(args):
@@ -167,12 +182,11 @@ def cmd_g2o(args):
 
 def cmd_map(args):
     from .core import extrinsics
-    from .io import read_trajectory, write_ply_points
-    from .io.frames import FrameStore
+    from .io import open_frame_source, read_trajectory, write_ply_points
     from .mapping import accumulate_cloud, voxel_filter, write_pcd
 
     traj = read_trajectory(args.traj)
-    store = FrameStore(args.frames)
+    store = open_frame_source(args.frames)
     u2c = extrinsics.camera_to_imu(args.pitch) if args.imu_frame else None
     pts, cols = accumulate_cloud(traj, store, _camera(args), u2c=u2c,
                                  stride=args.stride, skip=args.skip)
@@ -186,12 +200,11 @@ def cmd_map(args):
 
 
 def cmd_video(args):
-    from .io import read_trajectory
-    from .io.frames import FrameStore
+    from .io import open_frame_source, read_trajectory
     from .mapping import incremental_map_video
 
     trajs = [read_trajectory(p) for p in args.traj]
-    store = FrameStore(args.frames)
+    store = open_frame_source(args.frames)
     snaps = incremental_map_video(trajs if len(trajs) > 1 else trajs[0],
                                   store, _camera(args), args.out_dir,
                                   every=args.every, voxel=args.voxel)
@@ -200,7 +213,7 @@ def cmd_video(args):
 
 def cmd_ba_imu(args):
     from .imu import read_vn100_log, vn100_params
-    from .io.frames import FrameStore
+    from .io import open_frame_source
     from .pipelines.ba_imu import (
         BaImuConfig,
         features_from_store,
@@ -210,7 +223,7 @@ def cmd_ba_imu(args):
     lo, hi = (int(x) for x in args.seqs.split(":")[:2])
     step = int(args.seqs.split(":")[2]) if args.seqs.count(":") == 2 else 1
     seqs = list(range(lo, hi, step))
-    store = FrameStore(args.frames)
+    store = open_frame_source(args.frames)
     K = _camera(args)
     frames, matches = features_from_store(store, seqs, K)
     stream = iparams = None
@@ -234,13 +247,12 @@ def cmd_ba_imu(args):
 def cmd_plane_check(args):
     import jax
 
-    from .io import read_vro_log
-    from .io.frames import FrameStore
+    from .io import open_frame_source, read_vro_log
     from .pipelines import check_vo_edges
     from .planes import extract_plane_node
 
     log = read_vro_log(args.vro)
-    store = FrameStore(args.frames)
+    store = open_frame_source(args.frames)
     K = _camera(args)
     cache = {}
     keyring = [jax.random.PRNGKey(0)]
@@ -322,6 +334,7 @@ def main(argv=None):
     s.add_argument("--pitch", type=float, default=0.0)
     s.add_argument("--imu-frame", action="store_true",
                    help="conjugate edges into the IMU frame (T_u2c)")
+    s.add_argument("--gt", help="ground-truth trajectory log for ATE/RPE")
     s.set_defaults(fn=cmd_posegraph)
 
     s = sub.add_parser("vio", help="plane-aided VIO replay (VRO + IMU)")
@@ -335,6 +348,7 @@ def main(argv=None):
     s.add_argument("--out-dir", default="out")
     s.add_argument("--config")
     s.add_argument("--pitch", type=float, default=0.0)
+    s.add_argument("--gt", help="ground-truth trajectory log for ATE/RPE")
     s.set_defaults(fn=cmd_vio)
 
     s = sub.add_parser("convert", help="rewrite a VRO log (ba/hybrid/cut)")

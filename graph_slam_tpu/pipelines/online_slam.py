@@ -219,10 +219,19 @@ class OnlineSlam:
         if self._n_since_opt >= self.params.optimize_step:
             self.optimize()
 
-    def optimize(self, lm_params: LMParams = LMParams()):
+    def optimize(self, lm_params: Optional[LMParams] = None):
         """Batch optimize on the live arenas (optimizeGraphBatch) — no host
         rebuild; the optimized values become the estimator state. Logs chi2
-        before/after (the test_gt_graph.cpp:113-117 pattern)."""
+        before/after (the test_gt_graph.cpp:113-117 pattern).
+
+        The g2o backend runs a flat 20 LM iterations with no convergence
+        test (``CGraphG2O::optimizeGraph``, g2o_graph.cpp:241-252); gtsam
+        uses the GTSAM default stopping rules.
+        """
+        if lm_params is None:
+            lm_params = (LMParams(max_iterations=20, relative_error_tol=0.0,
+                                  absolute_error_tol=0.0)
+                         if self.backend == "g2o" else LMParams())
         before = self.og.error()
         with self.timers("optimize"):
             res = lm_optimize(self.og.graph, self.og.values, lm_params)

@@ -77,6 +77,29 @@ class TestOnlineSlam:
         assert log.valid.all()
 
 
+class TestG2oBackend:
+    def test_fake_odo_weighting_and_flat_lm(self):
+        """CGraphG2O semantics: fake-odometry info 1e-3*I (g2o_graph.cpp:151)
+        vs gtsam's 1e4, and optimize() = flat 20 LM iterations with no
+        convergence test (:241-252)."""
+        K = SR4000
+        slam = OnlineSlam(cam=K, params=SlamParams(optimize_step=100),
+                          backend="g2o", n_hyp=256, min_inliers=10)
+        img, depth = render_wall_frame(K, np.array([0.0, 0.0, 0.0]))
+        slam.process_frame(img, depth)
+        # garbage frame -> match failure -> fakeOdoNode
+        r = np.random.default_rng(0)
+        noise = r.uniform(0, 255, size=img.shape).astype(np.float32)
+        st = slam.process_frame(noise, np.zeros_like(depth))
+        assert st == FrameStatus.FAILED
+        bt = slam.og.graph.between
+        S = np.asarray(bt.sqrt_info[0])
+        np.testing.assert_allclose(np.diag(S), np.sqrt(1e-3), rtol=1e-6)
+        err = slam.optimize()
+        assert np.isfinite(err)
+        assert slam.chi2_log.rows[-1][3] == err
+
+
 class TestBaImu:
     def test_ba_imu_recovers_trajectory(self):
         import sys

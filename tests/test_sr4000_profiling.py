@@ -80,6 +80,38 @@ class TestBdatReader:
         assert store(1) is None
 
 
+class TestPngFrames:
+    def test_png_pair_store_and_autodetect(self, tmp_path):
+        from PIL import Image
+
+        from graph_slam_tpu.io import PngFrameStore, open_frame_source
+
+        r = np.random.default_rng(1)
+        rgb = r.integers(0, 255, size=(32, 40, 3)).astype(np.uint8)
+        depth_mm = r.integers(500, 4000, size=(32, 40)).astype(np.uint16)
+        Image.fromarray(rgb).save(tmp_path / "color_000002.png")
+        Image.fromarray(depth_mm, mode="I;16").save(
+            tmp_path / "depth_000002.png")
+
+        store = PngFrameStore(str(tmp_path))
+        got = store(2)
+        assert got is not None
+        inten, depth = got
+        assert inten.shape == (32, 40) and depth.shape == (32, 40)
+        np.testing.assert_allclose(depth, depth_mm * 1e-3, atol=1e-6)
+        lum = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+               + 0.114 * rgb[..., 2]).astype(np.float32)
+        np.testing.assert_allclose(inten, lum, atol=1e-3)
+        assert store(5) is None
+
+        auto = open_frame_source(str(tmp_path))
+        assert isinstance(auto, PngFrameStore)
+        # .gsf dir autodetects to the native store
+        gsf_dir = tmp_path / "gsf"
+        FrameStore(str(gsf_dir)).save(0, np.zeros((8, 8)), np.ones((8, 8)))
+        assert isinstance(open_frame_source(str(gsf_dir)), FrameStore)
+
+
 class TestProfiling:
     def test_phase_timer_and_chi2_log(self, tmp_path):
         pt = PhaseTimer()

@@ -140,6 +140,20 @@ class TestVio:
             np.testing.assert_allclose(np.asarray(res.values.vel[f]),
                                        np.asarray(V[f]), atol=1e-2)
 
+    def test_fixed_lag_window_engine(self):
+        """Online engine with a fixed-lag window: bounded-cost updates must
+        still track the trajectory (IMU + VO factor suffixes sliced)."""
+        log, img_times, stream, params, X, V, _ = simulate(seed=4,
+                                                           fail_frame=-1)
+        res = run_vio(log, img_times, stream, params,
+                      cfg=VioConfig(plane_mode="off", optimize_step=2,
+                                    incremental_iters=1, max_imu_window=64,
+                                    bucket=16, window=4))
+        assert res.error < 1e-3
+        for f in range(len(X)):
+            np.testing.assert_allclose(np.asarray(res.values.pose_t[f]),
+                                       np.asarray(X[f].t), atol=2e-2)
+
     def test_feedback_incremental(self):
         log, img_times, stream, params, X, V, _ = simulate(seed=3)
         res = run_vio(log, img_times, stream, params,
