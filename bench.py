@@ -243,10 +243,35 @@ def bench_dispatch():
             "value": round(dt / 8 * 1e3, 3), "unit": "ms/call"}
 
 
+def bench_banded():
+    """Headline config with the block-banded scatter-free CG variant."""
+    from graph_slam_tpu.graph import total_error
+    from graph_slam_tpu.graph.banded import band_halfwidth, \
+        banded_gn_optimize
+    from collections import namedtuple
+
+    graph, values, _ = _sphere()
+    W = band_halfwidth(graph)
+    Res = namedtuple("Res", "values error")
+
+    def call(v):
+        out, err = banded_gn_optimize(graph, v, iterations=ITERS_PER_CALL,
+                                      band_w=W, damping=1e-3, pcg_iters=10)
+        return Res(out, err)
+
+    dt, res = _chained_time(call, values)
+    e0 = float(total_error(graph, values))
+    assert float(res.error) < 0.1 * e0
+    return {"metric": "GN iters/sec, block-banded scatter-free CG variant",
+            "value": round(N_CALLS * ITERS_PER_CALL / dt, 3),
+            "unit": "GN iters/sec", "band_halfwidth": W}
+
+
 SECONDARY = {
     "ba_schur": bench_ba_schur,
     "vio_replay": bench_vio_replay,
     "gather_pcg": bench_gather_pcg,
+    "banded": bench_banded,
     "dispatch": bench_dispatch,
 }
 
@@ -296,16 +321,28 @@ def main():
         100.0 * per_iter_struct * iters_per_sec / PEAK_F32_FLOPS, 5)
     if flops:
         extra["flops_per_gn_iter_xla"] = round(flops / ITERS_PER_CALL)
-    for name in ("ba_schur", "vio_replay", "gather_pcg", "dispatch"):
-        extra[name] = _run_secondary(name)
-    if isinstance(extra.get("dispatch"), dict) and \
-            "value" in extra["dispatch"]:
-        # ms/call(1 iter) vs headline ms/iter -> dispatch overhead estimate
-        per_iter_ms = 1e3 / iters_per_sec
-        extra["dispatch"]["device_ms_per_iter_headline"] = round(
-            per_iter_ms, 3)
-        extra["dispatch"]["overhead_ms_est"] = round(
-            max(0.0, extra["dispatch"]["value"] - per_iter_ms), 3)
+
+    # secondary metrics, each in its own subprocess. Budget-capped: over
+    # the axon tunnel every subprocess pays a multi-minute compile, and the
+    # driver's bench invocation must not time out. The one-off solver
+    # comparisons (all 2026-08-16, v5e, this config) are recorded here and
+    # reproducible via --single:
+    #   gather-PCG (incidence, scatter-free): 26.5 GN it/s  (10x slower)
+    #   banded-CG  (block-band matvec):       45.6 GN it/s  (6x slower —
+    #       (P*W, 6, 6) batched matmuls pad catastrophically on the MXU)
+    #   dispatch probe: 48.2 ms/call for a 1-iteration call vs 3.8 ms/iter
+    #       inside a 50-iteration program (~44 ms tunnel/dispatch overhead)
+    # so the fused scatter-add PCG stays the default solver.
+    t_budget = time.perf_counter()
+    for name in ("ba_schur", "vio_replay"):
+        if time.perf_counter() - t_budget > 1500:
+            extra[name] = {"skipped": "bench time budget"}
+            continue
+        extra[name] = _run_secondary(name, timeout=900)
+    extra["solver_comparison_notes"] = (
+        "scatter-PCG default; gather 26.5 it/s, banded 45.6 it/s, "
+        "dispatch overhead ~44 ms/call — see bench.py comments; "
+        "re-run via --single gather_pcg|banded|dispatch")
 
     print(json.dumps({
         "metric": f"GN iterations/sec on sphere{N_POSES} SE(3) pose graph "

@@ -1,11 +1,15 @@
 from .variables import VariableArena, TangentLayout, layout_of, retract_all
 from .factors import FactorGraph, total_error, linearize_blocks, empty_graph
 from .builder import GraphBuilder, round_up
+from .banded import band_halfwidth, banded_gn_optimize
 from .lm import LMParams, LMResult, lm_optimize, gn_optimize
+from .online import IncrementalOptimizer, OnlineGraph
 
 __all__ = [
     "VariableArena", "TangentLayout", "layout_of", "retract_all",
     "FactorGraph", "total_error", "linearize_blocks", "empty_graph",
     "GraphBuilder", "round_up",
     "LMParams", "LMResult", "lm_optimize", "gn_optimize",
+    "band_halfwidth", "banded_gn_optimize",
+    "IncrementalOptimizer", "OnlineGraph",
 ]

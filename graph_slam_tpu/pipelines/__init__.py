@@ -7,7 +7,7 @@ from .posegraph import (
     trajectory_arrays,
 )
 from .vio import VioConfig, VioResult, run_vio
-from .ba_imu import BaImuConfig, BaImuResult, run_ba_imu
+from .ba_imu import BaImuConfig, BaImuResult, features_from_store, run_ba_imu
 from .online_slam import FrameStatus, OnlineSlam
 from .plane_check import (
     check_vo_edges,
@@ -19,7 +19,7 @@ __all__ = [
     "PoseGraphResult", "build_pose_graph", "run_pose_graph",
     "build_graph_from_g2o", "run_g2o_file", "trajectory_arrays",
     "VioConfig", "VioResult", "run_vio",
-    "BaImuConfig", "BaImuResult", "run_ba_imu",
+    "BaImuConfig", "BaImuResult", "features_from_store", "run_ba_imu",
     "FrameStatus", "OnlineSlam",
     "check_vo_edges", "plane_pair_mahalanobis", "plane_set_consistency",
 ]
