@@ -332,6 +332,10 @@ def main():
     #       (P*W, 6, 6) batched matmuls pad catastrophically on the MXU)
     #   dispatch probe: 48.2 ms/call for a 1-iteration call vs 3.8 ms/iter
     #       inside a 50-iteration program (~44 ms tunnel/dispatch overhead)
+    #   pcg_iters slope (2/10/30 -> 3.9/3.7/6.8 ms/iter): ~0.16 ms per CG
+    #       iteration, ~2.1 ms fixed per GN iteration (linearize + J^T J +
+    #       block-diag precond + retract) — the fixed part dominates, so
+    #       further CG micro-optimization moves the headline < 2x.
     # so the fused scatter-add PCG stays the default solver.
     t_budget = time.perf_counter()
     for name in ("ba_schur", "vio_replay"):

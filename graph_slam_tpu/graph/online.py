@@ -274,6 +274,49 @@ class OnlineGraph:
     def error(self) -> float:
         return float(total_error(self.graph, self.values))
 
+    # -- checkpoint / resume ------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Checkpoint the full engine state (arenas + factor tables +
+        slot counters) to one ``.npz``.
+
+        The reference's checkpointing is coarse file logs (VRO records,
+        trajectories — SURVEY §5 'no mid-optimization checkpointing');
+        the online engine checkpoints mid-run and resumes bit-exactly.
+        """
+        flat = {}
+        for name in _TABLES:
+            tb = getattr(self.graph, name)
+            for field, leaf in zip(tb._fields, tb):
+                flat[f"g.{name}.{field}"] = np.asarray(leaf)
+        for field, leaf in zip(self.values._fields, self.values):
+            flat[f"v.{field}"] = np.asarray(leaf)
+        flat["n.slots"] = np.asarray(
+            [self._n[k] for k in sorted(self._n)], np.int64)
+        flat["n.keys"] = np.asarray(sorted(self._n))
+        np.savez_compressed(path, **flat)
+
+    @classmethod
+    def load_state(cls, path: str) -> "OnlineGraph":
+        from .factors import FactorGraph
+        from .variables import VariableArena
+
+        z = np.load(path, allow_pickle=False)
+        tables = {}
+        for name in _TABLES:
+            tb_cls = type(getattr(
+                __import__("graph_slam_tpu.graph.factors",
+                           fromlist=["empty_graph"]).empty_graph(), name))
+            fields = tb_cls._fields
+            tables[name] = tb_cls(*[jnp.asarray(z[f"g.{name}.{f}"])
+                                    for f in fields])
+        graph = FactorGraph(**tables)
+        values = VariableArena(*[jnp.asarray(z[f"v.{f}"])
+                                 for f in VariableArena._fields])
+        og = cls(graph, values)
+        for k, n in zip(z["n.keys"], z["n.slots"]):
+            og._n[str(k)] = int(n)
+        return og
+
     # -- growth -----------------------------------------------------------
     def grow(self, pose_cap=None, vel_cap=None, bias_cap=None,
              plane_var_cap=None, point_cap=None, factor_caps=None):
