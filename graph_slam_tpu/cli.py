@@ -105,11 +105,20 @@ def cmd_vio(args):
             tok = line.split()
             if len(tok) >= 2:
                 times[int(tok[0])] = float(tok[1])
-    u2c = extrinsics.camera_to_imu(args.pitch)
+    u2c = None if args.extrinsic == "identity" \
+        else extrinsics.camera_to_imu(args.pitch)
     cfg = VioConfig(plane_mode=args.plane_mode,
-                    optimize_step=params.optimize_step)
+                    optimize_step=params.optimize_step,
+                    robust=params.robust,
+                    trace_dir=args.trace_dir)
+    frames = intr = None
+    if args.frames:
+        from .io import open_frame_source
+
+        frames = open_frame_source(args.frames)
+        intr = _camera(args)
     res = run_vio(log, times, stream, iparams, u2c=u2c, params=params,
-                  cfg=cfg)
+                  frames=frames, intrinsics=intr, cfg=cfg)
     print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
           f"(vo={res.n_vo_edges} imu={res.n_imu_factors} "
           f"plane={res.n_plane_factors})")
@@ -345,10 +354,19 @@ def main(argv=None):
                    help="file of 'seq_id timestamp' lines")
     s.add_argument("--plane-mode", choices=["rescue", "always", "off"],
                    default="off")
+    s.add_argument("--frames",
+                   help="frame directory (.gsf or PNG pairs) enabling the "
+                        "frames-driven plane rescue")
+    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
     s.add_argument("--out-dir", default="out")
     s.add_argument("--config")
     s.add_argument("--pitch", type=float, default=0.0)
     s.add_argument("--gt", help="ground-truth trajectory log for ATE/RPE")
+    s.add_argument("--trace-dir", help="jax.profiler trace output directory")
+    s.add_argument("--extrinsic", choices=["sr4000", "identity"],
+                   default="sr4000",
+                   help="camera-IMU extrinsic: the SR4000 RzRyRx "
+                        "composition (setCamera2IMU) or identity")
     s.set_defaults(fn=cmd_vio)
 
     s = sub.add_parser("convert", help="rewrite a VRO log (ba/hybrid/cut)")

@@ -114,6 +114,42 @@ class TestCliEndToEnd:
                          "--seqs", f"0:{len(xs)}")
         assert "chi2" in stdout and "proj=" in stdout
 
+    def test_vio_flagship_with_frames(self, tmp_path):
+        """Full flagship driver: .gsf frames + VN100 IMU log + timestamps +
+        VRO log with a failed edge -> `vio --plane-mode rescue --frames`
+        (the test_vro_imu_graph invocation shape)."""
+        from test_plane_node import simulate_frames, K
+
+        log, img_times, stream, params, X, frames = simulate_frames()
+        frames_dir = tmp_path / "frames"
+        store = FrameStore(str(frames_dir))
+        for seq, (inten, depth) in frames.items():
+            store.save(seq, inten, depth)
+        vro = str(tmp_path / "vro.log")
+        from graph_slam_tpu.io import write_vro_log
+
+        write_vro_log(vro, log)
+        imu_path = str(tmp_path / "imu_v100.log")
+        rows = np.concatenate(
+            [stream.t[:, None], stream.acc, stream.gyr,
+             np.zeros((len(stream.t), 3))], axis=1)
+        np.savetxt(imu_path, rows)
+        times_path = str(tmp_path / "timestamp.log")
+        with open(times_path, "w") as f:
+            for seq, t in img_times.items():
+                f.write(f"{seq} {t}\n")
+
+        stdout = run_cli("vio", "--vro", vro, "--imu", imu_path,
+                         "--times", times_path, "--plane-mode", "rescue",
+                         "--frames", str(frames_dir),
+                         "--extrinsic", "identity",
+                         "--out-dir", str(tmp_path / "out"))
+        assert "plane=" in stdout
+        n_planes = int(stdout.split("plane=")[1].split(")")[0])
+        assert n_planes >= 4          # firstPlaneNode + rescue factors
+        traj = read_trajectory(str(tmp_path / "out" / "trajectory.log"))
+        assert len(traj.ids) == len(X)
+
     def test_g2o(self, scenario, tmp_path):
         stdout = run_cli("g2o", "--input",
                          os.path.join(GOLDENS, "sphere200_noisy.g2o"),
