@@ -29,7 +29,7 @@ from .variables import VariableArena, layout_of
 from .lm import LMParams, lm_optimize, gn_optimize
 
 __all__ = ["OnlineCounts", "OnlineGraph", "IncrementalOptimizer",
-           "window_graph"]
+           "window_graph", "between_row", "imu_row"]
 
 # factor-table field order used for window starts/caps
 _TABLES = ("prior_pose", "between", "prior_vel", "prior_bias", "plane",
@@ -56,16 +56,23 @@ def _zero_counts() -> OnlineCounts:
 # zero-size-buffer aliasing across the rest of the pytree)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _append_between(tb, slot, i, j, R, t, sqrt_info, robust_kind, robust_k):
+def between_row(tb, slot, i, j, R, t, sqrt_info, robust_kind, robust_k,
+                active=True):
+    """Pure row write (shared by the jitted appender and fused steps)."""
     return tb._replace(
         i=tb.i.at[slot].set(i), j=tb.j.at[slot].set(j),
         meas_R=tb.meas_R.at[slot].set(R), meas_t=tb.meas_t.at[slot].set(t),
         sqrt_info=tb.sqrt_info.at[slot].set(sqrt_info),
         robust_kind=tb.robust_kind.at[slot].set(robust_kind),
         robust_k=tb.robust_k.at[slot].set(robust_k),
-        active=tb.active.at[slot].set(True),
+        active=tb.active.at[slot].set(active),
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_between(tb, slot, i, j, R, t, sqrt_info, robust_kind, robust_k):
+    return between_row(tb, slot, i, j, R, t, sqrt_info, robust_kind,
+                       robust_k)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -99,10 +106,10 @@ def _append_plane_factor(tb, slot, pose_idx, plane_idx, meas, sqrt_info):
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _append_imu(tb, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
-                H_p_bg, H_v_ba, H_v_bg, bias_hat, dt, gravity, cov):
-    """Whitening (inverse Cholesky of the 15x15 covariance) runs on device."""
+def imu_row(tb, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
+            H_p_bg, H_v_ba, H_v_bg, bias_hat, dt, gravity, cov):
+    """Pure IMU row write incl. on-device whitening (inverse Cholesky of
+    the 15x15 covariance); shared by the appender and fused steps."""
     C = 0.5 * (cov + cov.T)
     L = jnp.linalg.cholesky(C)
     S = jax.scipy.linalg.solve_triangular(
@@ -123,6 +130,13 @@ def _append_imu(tb, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
         sqrt_info=tb.sqrt_info.at[slot].set(S),
         active=tb.active.at[slot].set(True),
     )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_imu(tb, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
+                H_p_bg, H_v_ba, H_v_bg, bias_hat, dt, gravity, cov):
+    return imu_row(tb, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
+                   H_p_bg, H_v_ba, H_v_bg, bias_hat, dt, gravity, cov)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))

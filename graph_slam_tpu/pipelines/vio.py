@@ -28,6 +28,8 @@ from typing import Callable, Optional
 import numpy as np
 import jax.numpy as jnp
 
+import functools
+
 import jax
 
 from ..config import CameraIntrinsics, SlamParams
@@ -36,6 +38,7 @@ from ..graph import GraphBuilder, LMParams, lm_optimize, total_error
 from ..graph.builder import _sqrt_info, round_up
 from ..graph.factors import empty_graph
 from ..graph.lm import gn_optimize
+from ..graph import online as online_mod
 from ..graph.online import IncrementalOptimizer, OnlineGraph
 from ..graph.variables import empty_arena
 from ..imu import (
@@ -190,6 +193,68 @@ class _OnlineVioGraph:
                                  _sqrt_info(3, **noise))
 
 
+@functools.partial(jax.jit, static_argnames=("gate",))
+def _fused_vio_step(graph, values, imu_params: ImuParams, acc, gyr, dts,
+                    prev_R, prev_t, prev_vel, prev_bias,
+                    meas_R, meas_t, sqrt_info_vo, robust_kind, robust_k,
+                    failed, gj, bt_slot, imu_slot, gravity,
+                    gate: bool = False, gate_thresh: float = 4e4):
+    """One VIO frame as ONE device program.
+
+    Fuses the whole per-frame device pipeline — preintegration scan,
+    NavState prediction, the (optional) chi2 IMU-vs-VRO rotation gate, the
+    VO/IMU-consistent pose selection, and all arena row writes (pose, vel,
+    bias values; between + CombinedImu factor rows) — into a single jitted
+    call. The host-driven online replay previously paid ~8 device
+    dispatches per frame; over a remote TPU link each dispatch costs more
+    than the math, so the fused step is the online engine's throughput
+    path (used by ``run_vio`` when no plane stack is active).
+
+    The between row is written with ``active = ~failed`` so a gated or
+    sentinel-failed edge costs its slot but not its residual — no
+    data-dependent host branch, nothing read back per frame.
+    """
+    from ..core import so3 as _so3
+
+    st = integrate_segment(
+        init_preint(prev_bias, imu_params, dtype=prev_t.dtype),
+        acc, gyr, dts, imu_params)
+    prev_pose = se3.Pose(prev_R, prev_t)
+    pred_pose, pred_vel = predict_navstate(st, prev_pose, prev_vel,
+                                           prev_bias, gravity)
+    if gate:
+        # rotation consistency gate (test_vro_imu_graph.cpp:677-782)
+        R_imu = prev_R.T @ pred_pose.R
+        e_R = _so3.logmap(meas_R.T @ R_imu)
+        S_R = st.cov[:3, :3] + jnp.eye(3, dtype=prev_t.dtype) * 1e-12
+        chi2 = e_R @ jnp.linalg.solve(S_R, e_R)
+        failed = failed | (chi2 > gate_thresh)
+
+    comp = se3.compose(prev_pose, se3.Pose(meas_R, meas_t))
+    est_R = jnp.where(failed, pred_pose.R, comp.R)
+    est_t = jnp.where(failed, pred_pose.t, comp.t)
+
+    values = values._replace(
+        pose_R=values.pose_R.at[gj].set(est_R),
+        pose_t=values.pose_t.at[gj].set(est_t),
+        vel=values.vel.at[gj].set(pred_vel),
+        bias=values.bias.at[gj].set(prev_bias),
+        num_poses=jnp.maximum(values.num_poses, gj + 1),
+        num_vels=jnp.maximum(values.num_vels, gj + 1),
+        num_biases=jnp.maximum(values.num_biases, gj + 1),
+    )
+    gi = gj - 1
+    bt = online_mod.between_row(graph.between, bt_slot, gi, gj, meas_R,
+                                meas_t, sqrt_info_vo, robust_kind,
+                                robust_k, active=~failed)
+    im = online_mod.imu_row(graph.imu, imu_slot, gi, gj, st.dR, st.dp,
+                            st.dv, st.H_R_bg, st.H_p_ba, st.H_p_bg,
+                            st.H_v_ba, st.H_v_bg, st.bias_hat, st.dt,
+                            gravity, st.cov)
+    graph = graph._replace(between=bt, imu=im)
+    return graph, values, est_R, est_t, pred_vel
+
+
 def _pad_window(acc, gyr, n, dt_nom, max_window):
     """Fixed-shape measurement window (masked rows have dt=0)."""
     acc_p = np.zeros((max_window, 3))
@@ -296,8 +361,8 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
                     insert_detection(gid, se3.identity(), det)
                     plane_nodes[gid] = det
 
-    def integrate_to(seq):
-        """Preintegrate [cur_imu_idx, index_at(t_img)) with current bias."""
+    def imu_window_for(seq):
+        """Padded measurement window [cur_imu_idx, index_at(t_img))."""
         nonlocal cur_imu_idx
         t_img = float(t_of(seq))
         nxt = find_index_at(imu.t, t_img, imu.start)
@@ -305,12 +370,14 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
             nxt = len(imu.t) - imu.start - 1
         i0, i1 = cur_imu_idx, max(nxt, cur_imu_idx)
         acc, gyr = imu.window(i0, i1)
-        st = init_preint(prev_bias, imu_params)
-        a, g, dts = _pad_window(acc, gyr, i1 - i0, imu.dt,
-                                cfg.max_imu_window)
-        st = integrate_segment(st, a, g, dts, imu_params)
         cur_imu_idx = nxt
-        return st
+        return _pad_window(acc, gyr, i1 - i0, imu.dt, cfg.max_imu_window)
+
+    def integrate_to(seq):
+        """Preintegrate the window with the current bias estimate."""
+        a, g, dts = imu_window_for(seq)
+        st = init_preint(prev_bias, imu_params)
+        return integrate_segment(st, a, g, dts, imu_params)
 
     def insert_plane_obs(gid, pose_body: se3.Pose, plane_cam, cov3,
                          lid: int = -1, trace_extra: float = 0.0) -> int:
@@ -328,14 +395,17 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
         pb, cb = transform_plane_cov(plane_cam, jnp.asarray(cov3),
                                      se3.inverse(u2c_j))
         trace_snv = float(np.trace(cov3[:2, :2])) + trace_extra
-        if lid >= 0:
-            book.observe(gid, lid)
-            is_new = False
-        else:
+        carried = lid >= 0
+        if not carried:
             lid, is_new = book.associate(gid, np.asarray(pb), pose_body)
+        else:
+            is_new = False
         cb, accept = inflate_if_uncertain(np.asarray(cb), trace_snv, is_new)
         if not accept:
             return -1
+        if carried:
+            # record the re-observation only once the gate accepts it
+            book.observe(gid, lid)
         S = repair_plane_cov(cb)
         if is_new and len(b._planes) <= lid:
             b.add_plane(book.world[lid])
@@ -409,7 +479,45 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
             continue
         gi = seq2graph[id_from]
 
-        if id_to not in seq2graph:
+        # fused fast path: whole frame = ONE device call (no plane stack)
+        fast = online and book is None and plane_obs_provider is None
+
+        if id_to not in seq2graph and fast:
+            with pt("fused_frame"):
+                a, g_, dts = imu_window_for(id_to)
+                T, info_b = _conjugate_edge(log.xi[k], info, u2c)
+                gj = len(seq_ids)
+                og = b.og
+                bt_slot = og._slot("between", og.graph.between.i.shape[0])
+                imu_slot = og._slot("imu", og.graph.imu.i.shape[0])
+                dt64 = og.values.pose_t.dtype
+                og.graph, og.values, est_R, est_t, pred_vel = \
+                    _fused_vio_step(
+                        og.graph, og.values, imu_params, a, g_, dts,
+                        jnp.asarray(prev_pose.R, dt64),
+                        jnp.asarray(prev_pose.t, dt64),
+                        jnp.asarray(prev_vel, dt64),
+                        jnp.asarray(prev_bias, dt64),
+                        jnp.asarray(T.R, dt64), jnp.asarray(T.t, dt64),
+                        jnp.asarray(_sqrt_info(6, information=info_b), dt64),
+                        jnp.asarray(0 if robust_k is None else 1, jnp.int32),
+                        jnp.asarray(1.0 if robust_k is None
+                                    else float(robust_k), dt64),
+                        jnp.asarray(bool(failed)), jnp.asarray(gj),
+                        jnp.asarray(bt_slot), jnp.asarray(imu_slot),
+                        jnp.asarray(gravity, dt64),
+                        gate=cfg.chi2_vro_gate,
+                        gate_thresh=cfg.chi2_threshold)
+                og.num_poses = max(og.num_poses, gj + 1)
+                og.num_vels = max(og.num_vels, gj + 1)
+                og.num_biases = max(og.num_biases, gj + 1)
+                seq2graph[id_to] = gj
+                seq_ids.append(id_to)
+                n_imu += 1
+                if cfg.feedback:
+                    prev_pose = se3.Pose(est_R, est_t)
+                    prev_vel = pred_vel
+        elif id_to not in seq2graph:
             # --- new frame ---------------------------------------------
             with pt("imu_preint"):
                 st = integrate_to(id_to)
@@ -522,6 +630,9 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
 
     if online:
         graph, values = b.og.graph, b.og.values
+        # the fused path never reads the gate verdict back per frame;
+        # count accepted VO edges from the active mask instead
+        n_vo = int(np.asarray(graph.between.active).sum())
     else:
         graph, values = b.build(bucket=cfg.bucket)
     e0 = float(total_error(graph, values))

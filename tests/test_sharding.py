@@ -44,6 +44,26 @@ def test_sharded_pcg_matches_single_device_small():
                                np.asarray(res.values.pose_t), atol=1e-2)
 
 
+def test_sharded_pcg_on_ba_graph():
+    """Multi-device bundle adjustment: the factor-sharded matrix-free PCG
+    covers projection/point-prior tables through the same linearize path
+    (SURVEY §2.7's 'Schur landmark elimination shards naturally' claim,
+    realized matrix-free)."""
+    from graph_slam_tpu.datasets import make_ba_graph
+
+    graph, values, _ = make_ba_graph(n_poses=8, n_points=120,
+                                     obs_per_point=3, seed=4,
+                                     dtype=jnp.float32, bucket=8)
+    e0 = float(total_error(graph, values))
+    mesh = make_mesh(8)
+    vals_sh, err_sh = sharded_gn(mesh, graph, values, iterations=6,
+                                 damping=1e-2, solver="pcg", pcg_iters=50)
+    res = gn_optimize(graph, values, iterations=6, solver="pcg",
+                      pcg_iters=50, damping=1e-2)
+    assert float(err_sh) < 0.2 * e0
+    np.testing.assert_allclose(float(err_sh), float(res.error), rtol=5e-2)
+
+
 def test_sharded_pcg_sphere2500_scale():
     """The round-1 blocker: the sharded path must run the stress config it
     advertises. 2,500 poses / ~10k edges on the 8-way mesh; per-CG-iteration
