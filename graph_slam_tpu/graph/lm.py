@@ -130,7 +130,7 @@ def _solvers(blocks, mask, params: LMParams, inc: Incidence | None = None):
             return hvp
 
         def solve_fn(lam):
-            Minv = jnp.linalg.inv(blkdiag_with(lam))
+            Minv = solve.inv33(blkdiag_with(lam))
 
             def apply_precond(r):
                 return jnp.einsum("bij,bj->bi", Minv,

@@ -36,7 +36,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..graph.factors import FactorGraph, linearize_blocks, total_error
-from ..graph.solve import solve_dense, solve_pcg_precond
+from ..graph.solve import inv33, solve_dense, solve_pcg_precond
 from ..graph.variables import VariableArena, retract_all, used_slot_mask
 
 __all__ = ["make_mesh", "shard_graph", "sharded_gn_step",
@@ -132,7 +132,7 @@ def _gn_pcg_local(graph: FactorGraph, values: VariableArena, damping,
     eye3 = jnp.eye(3, dtype=dt)
     base = damping * jnp.ones_like(mask) + (1.0 - mask)
     Bd = Bd + base.reshape(nblk, 3)[:, :, None] * eye3
-    Minv = jnp.linalg.inv(Bd)
+    Minv = inv33(Bd)
 
     def hvp(v):
         out = jnp.zeros(D, dt)
