@@ -26,7 +26,8 @@ from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
 
 __all__ = ["void_edge", "convert_vo2ba", "merge_vro",
            "compute_trans_difference", "delete_vo_by_plane_check",
-           "propose_sparse_area_edges", "add_vo_at_sparse_area"]
+           "propose_sparse_area_edges", "add_vo_at_sparse_area",
+           "make_frame_matcher"]
 
 
 def void_edge(log: VROLog, k: int) -> None:
@@ -140,12 +141,50 @@ def propose_sparse_area_edges(feature_counts: dict, window: int = 5,
     return sorted(set(out))
 
 
+def make_frame_matcher(frames, K, seed: int = 0, max_features: int = 256):
+    """Self-contained ``matcher`` for ``add_vo_at_sparse_area``: extract
+    features lazily per frame, match with the batched RANSAC frontend, and
+    return ``(xi, info)`` for validated pairs (test_match_two_frames role).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..vision.features import extract_features
+    from ..vision.frontend import match_frames_device
+
+    cache: dict = {}
+    keyring = [jax.random.PRNGKey(seed)]
+
+    def feat(seq):
+        if seq not in cache:
+            fr = frames(seq)
+            cache[seq] = None if fr is None else extract_features(
+                K, jnp.asarray(fr[0]), jnp.asarray(fr[1]),
+                max_features=max_features)
+        return cache[seq]
+
+    def matcher(id_from, id_to):
+        fi, fj = feat(id_from), feat(id_to)
+        if fi is None or fj is None:
+            return None
+        keyring[0], k = jax.random.split(keyring[0])
+        R, t, info, n_inl, ok = match_frames_device(k, fi, fj)
+        if not bool(ok) or not np.isfinite(np.asarray(info)).all():
+            return None
+        xi = np.asarray(se3.logmap(se3.Pose(jnp.asarray(R),
+                                            jnp.asarray(t))))
+        return xi, np.asarray(info)
+
+    return matcher
+
+
 def add_vo_at_sparse_area(log: VROLog, feature_counts: dict,
                           matcher: Callable, window: int = 5,
                           sparse_thresh: int = 60) -> VROLog:
     """Append matcher-validated extra edges at sparse areas.
 
-    ``matcher(id_from, id_to) -> (xi, info) | None``.
+    ``matcher(id_from, id_to) -> (xi, info) | None`` — e.g.
+    ``make_frame_matcher(frames, K)`` for a self-contained run.
     """
     existing = {(int(f), int(t)) for f, t in zip(log.id_from, log.id_to)}
     new_rows = []

@@ -75,6 +75,42 @@ class TestRefineEdgeBa:
         assert ev.min() > 0           # PSD information from pose marginal
 
 
+class TestSparseAreaSelfContained:
+    def test_add_vo_at_sparse_area_with_frame_matcher(self):
+        """add_vo_at_sparse_area validated by the batched RANSAC matcher —
+        self-contained from raw frames (add_vo_at_sparse_area.cpp role)."""
+        from graph_slam_tpu.io.vro_log import VROLog
+        from graph_slam_tpu.tools import (
+            add_vo_at_sparse_area,
+            make_frame_matcher,
+        )
+
+        xs = [0.0, 0.06, 0.12, 0.18, 0.24]
+        frames = {k: render_wall_frame(K, np.array([x, 0.0, 0.0]))
+                  for k, x in enumerate(xs)}
+        info = np.diag([8e3] * 3 + [4e3] * 3)
+        rows = []
+        for k in range(1, 5):
+            T = se3.Pose(jnp.eye(3),
+                         jnp.array([xs[k] - xs[k - 1], 0.0, 0.0]))
+            rows.append((k, k - 1, np.asarray(se3.logmap(T)), info))
+        log = VROLog(np.asarray([r[0] for r in rows]),
+                     np.asarray([r[1] for r in rows]),
+                     np.stack([r[2] for r in rows]),
+                     np.stack([r[3] for r in rows]))
+        # frame 2 declared feature-sparse -> extra edges proposed around it
+        counts = {0: 200, 1: 200, 2: 10, 3: 200, 4: 200}
+        out = add_vo_at_sparse_area(log, counts,
+                                    make_frame_matcher(frames.get, K),
+                                    window=2, sparse_thresh=60)
+        assert len(out) > len(log)
+        # the appended edges recover the true relative translation
+        for k in range(len(log), len(out)):
+            T = se3.expmap(jnp.asarray(out.xi[k]))
+            expect = xs[int(out.id_to[k])] - xs[int(out.id_from[k])]
+            assert abs(float(T.t[0]) - expect) < 0.02
+
+
 class TestConvertVo2BaSelfContained:
     def test_ba_mode_end_to_end(self):
         xs = [0.0, 0.12, 0.24]
