@@ -9,10 +9,12 @@ from .pointcloud import (
     write_pcd,
 )
 from .video import follow_camera_pose, incremental_map_video
+from .viewers import write_image_grid, write_registration_ply
 
 __all__ = [
     "grid_triangulate", "pcd_to_mesh", "write_ply_mesh",
     "accumulate_cloud", "map_from_frames", "occupancy_denoise",
     "passthrough", "read_pcd", "voxel_filter", "write_pcd",
     "follow_camera_pose", "incremental_map_video",
+    "write_image_grid", "write_registration_ply",
 ]

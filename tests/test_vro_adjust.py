@@ -8,6 +8,8 @@ Renders textured-wall frame pairs, then:
 - ``convert_vo2ba(mode="ba")`` runs self-contained via ``make_ba_fn``.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,6 +111,29 @@ class TestSparseAreaSelfContained:
             T = se3.expmap(jnp.asarray(out.xi[k]))
             expect = xs[int(out.id_to[k])] - xs[int(out.id_from[k])]
             assert abs(float(T.t[0]) - expect) < 0.02
+
+
+class TestHeadlessViewers:
+    def test_registration_overlay_and_image_grid(self, tmp_path):
+        from graph_slam_tpu.mapping import (
+            write_image_grid,
+            write_registration_ply,
+        )
+
+        f0 = render_wall_frame(K, np.array([0.0, 0.0, 0.0]))
+        f1 = render_wall_frame(K, np.array([0.15, 0.0, 0.0]))
+        T = se3.Pose(jnp.eye(3), jnp.array([0.15, 0.0, 0.0]))
+        ply = str(tmp_path / "reg.ply")
+        n = write_registration_ply(ply, K, f0, f1, T)
+        assert n > 1000
+        lines = open(ply).read().splitlines()
+        assert lines[0] == "ply"
+        assert any("230 60 60" in ln for ln in lines[-n:])
+
+        png = str(tmp_path / "grid.png")
+        shape = write_image_grid(png, [f0[0], f1[0], f0[1], f1[1]], cols=2)
+        assert os.path.getsize(png) > 500
+        assert shape[0] >= 2 * K.height
 
 
 class TestConvertVo2BaSelfContained:
