@@ -179,9 +179,33 @@ def cmd_g2o(args):
     from .io import write_trajectory
     from .pipelines import run_g2o_file, trajectory_arrays
 
-    res = run_g2o_file(args.input, LMParams())
-    print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
-          f"({res.iterations} LM iterations, {len(res.seq_ids)} vertices)")
+    if args.sharded:
+        import jax
+
+        from .graph import total_error
+        from .io import read_g2o
+        from .parallel import make_mesh, sharded_gn
+        from .pipelines import build_graph_from_g2o
+        from .pipelines.posegraph import PoseGraphResult
+
+        vertices, edges = read_g2o(args.input)
+        graph, values, ids = build_graph_from_g2o(vertices, edges)
+        n_dev = args.sharded if args.sharded > 0 else len(jax.devices())
+        e0 = float(total_error(graph, values))
+        vals, err = sharded_gn(make_mesh(n_dev), graph, values,
+                               iterations=args.iters, damping=1e-6,
+                               solver="pcg")
+        res = PoseGraphResult(values=vals, graph=graph, error0=e0,
+                              error=float(err), seq_ids=ids,
+                              iterations=args.iters)
+        print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
+              f"({args.iters} sharded GN iterations over {n_dev} devices, "
+              f"{len(res.seq_ids)} vertices)")
+    else:
+        res = run_g2o_file(args.input, LMParams())
+        print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
+              f"({res.iterations} LM iterations, "
+              f"{len(res.seq_ids)} vertices)")
     os.makedirs(args.out_dir, exist_ok=True)
     ids, t, q, seq = trajectory_arrays(res.values, res.seq_ids)
     write_trajectory(os.path.join(args.out_dir, "trajectory.log"),
@@ -393,6 +417,11 @@ def main(argv=None):
     s = sub.add_parser("g2o", help="ingest + optimize a standard .g2o pose graph")
     s.add_argument("--input", required=True)
     s.add_argument("--out-dir", default="out")
+    s.add_argument("--sharded", type=int, default=0, metavar="N",
+                   help="optimize with factor-sharded matrix-free PCG over "
+                        "N devices (0 = single-device LM)")
+    s.add_argument("--iters", type=int, default=20,
+                   help="GN iterations in --sharded mode")
     s.set_defaults(fn=cmd_g2o)
 
     s = sub.add_parser("map", help="trajectory + frames -> PCD/PLY map")

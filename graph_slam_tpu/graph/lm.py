@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import assemble, solve
+from . import solve
 from .factors import FactorGraph, linearize_blocks, total_error
 from .sparsity import (
     Incidence,

@@ -29,6 +29,10 @@ def run_cli(*args, timeout=420):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run([sys.executable, "-m", "graph_slam_tpu", *args],
                          env=env, capture_output=True, text=True,
@@ -157,3 +161,17 @@ class TestCliEndToEnd:
         assert "200 vertices" in stdout
         traj = read_trajectory(str(tmp_path / "trajectory.log"))
         assert len(traj.ids) == 200
+
+    def test_g2o_sharded(self, tmp_path):
+        """Multi-device optimization as a user-facing CLI feature: the
+        sharded matrix-free PCG reaches the same optimum as batch LM."""
+        stdout = run_cli("g2o", "--input",
+                         os.path.join(GOLDENS, "sphere200_noisy.g2o"),
+                         "--out-dir", str(tmp_path),
+                         "--sharded", "8", "--iters", "15")
+        assert "over 8 devices" in stdout
+        final = float(stdout.split("-> ")[1].split(" ")[0])
+        import json
+
+        pins = json.load(open(os.path.join(GOLDENS, "chi2.json")))
+        assert abs(final - pins["g2o_error"]) <= 1e-3 * pins["g2o_error"]
