@@ -183,6 +183,31 @@ class TestPredictPlaneNode:
         assert walls
         assert abs(abs(float(cur.params[walls[0]][3])) - 3.6) < 0.05
 
+    def test_rotated_motion(self):
+        """Camera yaws ~6 deg: the propagated wall normal must follow the
+        rotation (n_cam = R^T n_world) and keep its landmark id."""
+        import np_lie
+
+        X0 = se3.identity()
+        R1 = np_lie.so3_exp([0.0, 0.1, 0.0])
+        X1 = se3.Pose(jnp.asarray(R1), jnp.zeros(3))
+        i0, d0 = render(X0, noise=0.002, seed=0)
+        i1, d1 = render(X1, noise=0.002, seed=1)
+        prev = extract_plane_node(jax.random.PRNGKey(0), K, i0, d0)
+        prev.landmark_ids[:] = np.arange(len(prev))
+        T_body = se3.between(X0, X1)
+        cur = predict_plane_node(jax.random.PRNGKey(1), K, prev, T_body,
+                                 np.eye(6) * 1e-6, i1, d1)
+        assert cur is not None
+        walls = [p for p in range(len(cur))
+                 if int(cur.landmark_ids[p]) >= 0
+                 and abs(float(cur.params[p][2])) > 0.9]
+        assert walls
+        n_expected = R1.T @ np.array([0.0, 0.0, 1.0])
+        n_got = np.asarray(cur.params[walls[0]][:3])
+        c = abs(float(n_got @ n_expected))
+        assert c > 0.999, (n_got, n_expected)
+
     def test_coverage_fallback_finds_new_plane(self):
         """Previous node only knew the floor; the uncovered wall must be
         found by fresh extraction with landmark id -1, and the carried
