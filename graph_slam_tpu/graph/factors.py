@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..core import se3, so3
 from ..noise.models import ROBUST_HUBER, huber_weight
 from ..planes import oriented_plane
-from .variables import TangentLayout, VariableArena, layout_of
+from .variables import VariableArena, layout_of
 
 __all__ = [
     "PriorPoseTable",

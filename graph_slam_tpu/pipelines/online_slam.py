@@ -32,10 +32,10 @@ import jax.numpy as jnp
 
 from ..config import CameraIntrinsics, SlamParams
 from ..core import se3, so3
-from ..graph import LMParams, lm_optimize, total_error
+from ..graph import LMParams, lm_optimize
 from ..graph.builder import _sqrt_info, round_up
 from ..graph.factors import empty_graph
-from ..graph.online import IncrementalOptimizer, OnlineGraph
+from ..graph.online import OnlineGraph
 from ..graph.variables import empty_arena
 from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog, write_vro_log
 from ..vision.features import FeatureFrame, extract_features

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core import so3, trig
+from ..core import trig
 
 __all__ = [
     "normalize",

@@ -21,7 +21,7 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import se3
+
 from ..graph import GraphBuilder, LMParams, lm_optimize
 from ..graph.marginals import pose_marginal
 
