@@ -70,13 +70,14 @@ class OnlineSlam:
     inlier_thresh: float = 0.05
     min_inliers: int = 12
     seed: int = 0
+    initial_pose_cap: int = 128   # arena start size; doubles on overflow
 
     def __post_init__(self):
         # preallocated online arenas: appends are jitted row writes, the
         # optimizer runs on the live arrays with no host rebuild (the
         # CGraphGT::addNode + optimizeGraph execution model with ISAM2-role
         # zero-recompile updates, gtsam_graph.cpp:1670-1788)
-        self._pose_cap = 128
+        self._pose_cap = self.initial_pose_cap
         self.og = OnlineGraph(
             empty_graph(prior_pose_cap=2,
                         between_cap=self._between_cap(self._pose_cap)),

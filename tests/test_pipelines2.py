@@ -77,6 +77,26 @@ class TestOnlineSlam:
         assert log.valid.all()
 
 
+class TestArenaGrowth:
+    def test_bucket_crossing_growth_preserves_state(self):
+        """Keyframes beyond the initial arena capacity trigger a re-homing
+        grow; the optimized trajectory must be unaffected."""
+        K = SR4000
+        slam = OnlineSlam(cam=K, params=SlamParams(optimize_step=100),
+                          n_hyp=256, min_inliers=10, initial_pose_cap=4)
+        xs = [0.0, 0.10, 0.20, 0.30, 0.40, 0.50, 0.60]
+        for x in xs:
+            img, depth = render_wall_frame(K, np.array([x, 0.0, 0.0]))
+            slam.process_frame(img, depth)
+        assert slam.num_keyframes == len(xs)
+        assert slam.og.values.pose_R.shape[0] >= len(xs)   # grew past 4
+        err = slam.optimize()
+        assert err < 1.0
+        _, t, _, _ = slam.trajectory()
+        for k, x in enumerate(xs):
+            assert abs(t[k, 0] - x) < 0.04, (k, t[k, 0], x)
+
+
 class TestG2oBackend:
     def test_fake_odo_weighting_and_flat_lm(self):
         """CGraphG2O semantics: fake-odometry info 1e-3*I (g2o_graph.cpp:151)
