@@ -17,7 +17,7 @@ algorithm, which is hostile to static dataflow.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,26 +28,12 @@ from .factors import FactorGraph, total_error
 from .variables import VariableArena, layout_of
 from .lm import LMParams, lm_optimize, gn_optimize
 
-__all__ = ["OnlineCounts", "OnlineGraph", "IncrementalOptimizer",
+__all__ = ["OnlineGraph", "IncrementalOptimizer",
            "window_graph", "between_row", "imu_row"]
 
 # factor-table field order used for window starts/caps
 _TABLES = ("prior_pose", "between", "prior_vel", "prior_bias", "plane",
            "imu", "projection", "prior_point")
-
-
-class OnlineCounts(NamedTuple):
-    prior_pose: jnp.ndarray
-    between: jnp.ndarray
-    prior_vel: jnp.ndarray
-    prior_bias: jnp.ndarray
-    plane: jnp.ndarray
-    imu: jnp.ndarray
-
-
-def _zero_counts() -> OnlineCounts:
-    z = jnp.zeros((), jnp.int32)
-    return OnlineCounts(z, z, z, z, z, z)
 
 
 # ---------------------------------------------------------------------------

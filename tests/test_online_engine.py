@@ -139,6 +139,71 @@ class TestThousandFrameIncremental:
         assert float(err.mean()) < 0.05, float(err.mean())
 
 
+class TestLongVioReplay:
+    def test_600_frame_fused_window_replay(self):
+        """Long VIO replay through the fused per-frame step with fixed-lag
+        window updates — the 27k-frame-class execution model
+        (gtsam_imuVN100_go.launch:13) at test scale."""
+        import jax.numpy as jnp
+
+        from graph_slam_tpu.core import se3
+        from graph_slam_tpu.imu import (
+            ImuStream,
+            init_preint,
+            integrate_segment,
+            predict_navstate,
+            vn100_params,
+        )
+        from graph_slam_tpu.io.vro_log import VROLog
+        from graph_slam_tpu.pipelines.vio import VioConfig, run_vio
+
+        n_frames, per = 600, 10
+        r = np.random.default_rng(0)
+        params = vn100_params()
+        dt = 1.0 / 200.0
+        n_meas = n_frames * per + 10
+        acc = (r.normal(size=(n_meas, 3)) * 0.05
+               - np.asarray(params.gravity))
+        gyr = r.normal(size=(n_meas, 3)) * 0.05
+        for k in range(1, n_meas):
+            acc[k] = 0.9 * acc[k - 1] + 0.1 * acc[k]
+            gyr[k] = 0.9 * gyr[k - 1] + 0.1 * gyr[k]
+        stream = ImuStream(t=np.arange(n_meas) * dt, acc=acc, gyr=gyr,
+                           dt=dt)
+        X, V = [se3.identity()], [jnp.zeros(3)]
+        for f in range(1, n_frames):
+            st = integrate_segment(
+                init_preint(jnp.zeros(6), params),
+                jnp.asarray(acc[(f - 1) * per:f * per]),
+                jnp.asarray(gyr[(f - 1) * per:f * per]),
+                jnp.full(per, dt), params)
+            Xj, vj = predict_navstate(st, X[-1], V[-1], jnp.zeros(6),
+                                      params.gravity)
+            X.append(Xj)
+            V.append(vj)
+        info = np.diag([8e3] * 3 + [2500.0] * 3)
+        rows = [(f, f - 1,
+                 np.asarray(se3.logmap(se3.between(X[f - 1], X[f]))), info)
+                for f in range(1, n_frames)]
+        log = VROLog(np.asarray([x[0] for x in rows]),
+                     np.asarray([x[1] for x in rows]),
+                     np.stack([x[2] for x in rows]),
+                     np.stack([x[3] for x in rows]))
+        times = {f: f * per * dt for f in range(n_frames)}
+        res = run_vio(log, times, stream, params,
+                      cfg=VioConfig(plane_mode="off", optimize_step=10,
+                                    max_imu_window=16, bucket=128,
+                                    window=32, incremental_solver="pcg",
+                                    incremental_pcg_iters=40,
+                                    final_batch=False))
+        assert res.n_imu_factors == n_frames - 1
+        gt_t = np.stack([np.asarray(x.t) for x in X])
+        err = np.linalg.norm(
+            np.asarray(res.values.pose_t[:n_frames]) - gt_t, axis=1)
+        assert float(err.mean()) < 0.05, float(err.mean())
+        assert res.error < 1.0, res.error
+
+
 class TestFixedLagWindow:
     def test_window_update_bounded_and_accurate(self):
         n = 300
