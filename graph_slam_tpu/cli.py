@@ -48,6 +48,15 @@ def _load_params(args):
     return SlamParams()
 
 
+def _load_config_dict(args):
+    """Full config dict (reserved sections included) or {}."""
+    from .config import load_config_dict
+
+    if getattr(args, "config", None):
+        return load_config_dict(args.config)
+    return {}
+
+
 def cmd_posegraph(args):
     import jax.numpy as jnp
 
@@ -92,8 +101,10 @@ def cmd_vio(args):
     from .pipelines.vio import VioConfig, run_vio
 
     params = _load_params(args)
+    preset = _load_config_dict(args)
     log = read_vro_log(args.vro)
-    if args.imu_type == "vn100":
+    imu_type = args.imu_type or preset.get("imu_type", "vn100")
+    if imu_type == "vn100":
         stream = read_vn100_log(args.imu)
         iparams = vn100_params()
     else:
@@ -105,18 +116,21 @@ def cmd_vio(args):
             tok = line.split()
             if len(tok) >= 2:
                 times[int(tok[0])] = float(tok[1])
-    u2c = None if args.extrinsic == "identity" \
+    extrinsic = args.extrinsic or preset.get("extrinsic", "sr4000")
+    u2c = None if extrinsic == "identity" \
         else extrinsics.camera_to_imu(args.pitch)
-    cfg = VioConfig(plane_mode=args.plane_mode,
-                    optimize_step=params.optimize_step,
+    vio_kw = dict(preset.get("vio", {}))
+    if args.plane_mode:
+        vio_kw["plane_mode"] = args.plane_mode
+    cfg = VioConfig(optimize_step=params.optimize_step,
                     robust=params.robust,
-                    trace_dir=args.trace_dir)
+                    trace_dir=args.trace_dir, **vio_kw)
     frames = intr = None
     if args.frames:
         from .io import open_frame_source
 
         frames = open_frame_source(args.frames)
-        intr = _camera(args)
+        intr = _camera(args, preset)
     res = run_vio(log, times, stream, iparams, u2c=u2c, params=params,
                   frames=frames, intrinsics=intr, cfg=cfg)
     print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
@@ -168,10 +182,12 @@ def cmd_diff(args):
           f"max |dt|={np.nanmax(dt):.6f} max |dr|={np.nanmax(dr):.6f}")
 
 
-def _camera(args):
+def _camera(args, preset=None):
     from .config import RS435, SR4000
 
-    return {"sr4000": SR4000, "rs435": RS435}[args.camera]
+    name = getattr(args, "camera", None) or (preset or {}).get("camera") \
+        or "sr4000"
+    return {"sr4000": SR4000, "rs435": RS435}[name]
 
 
 def cmd_g2o(args):
@@ -354,6 +370,14 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_presets(args):
+    from .config import load_config_dict, preset_names
+
+    for name in preset_names():
+        desc = load_config_dict(name).get("description", "")
+        print(f"{name:28s} {desc}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="graph_slam_tpu",
                                 description=__doc__,
@@ -363,7 +387,9 @@ def main(argv=None):
     s = sub.add_parser("posegraph", help="offline pose-graph SLAM from a VRO log")
     s.add_argument("--vro", required=True)
     s.add_argument("--out-dir", default="out")
-    s.add_argument("--config", help="JSON SlamParams overrides")
+    s.add_argument("--config",
+                   help="JSON SlamParams overrides: a file path or a "
+                        "shipped preset name (see 'presets')")
     s.add_argument("--pitch", type=float, default=0.0)
     s.add_argument("--imu-frame", action="store_true",
                    help="conjugate edges into the IMU frame (T_u2c)")
@@ -373,17 +399,20 @@ def main(argv=None):
     s = sub.add_parser("vio", help="plane-aided VIO replay (VRO + IMU)")
     s.add_argument("--vro", required=True)
     s.add_argument("--imu", required=True)
-    s.add_argument("--imu-type", choices=["vn100", "mems"], default="vn100")
+    s.add_argument("--imu-type", choices=["vn100", "mems"], default=None,
+                   help="IMU preset (default vn100, or the config's)")
     s.add_argument("--times", required=True,
                    help="file of 'seq_id timestamp' lines")
     s.add_argument("--plane-mode", choices=["rescue", "always", "off"],
-                   default="off")
+                   default=None,
+                   help="plane factor policy (default off, or the config's)")
     s.add_argument("--frames",
                    help="frame directory (.gsf or PNG pairs) enabling the "
                         "frames-driven plane rescue")
-    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--camera", choices=["sr4000", "rs435"], default=None)
     s.add_argument("--out-dir", default="out")
-    s.add_argument("--config")
+    s.add_argument("--config",
+                   help="JSON config path or preset name (see 'presets')")
     s.add_argument("--pitch", type=float, default=0.0)
     s.add_argument("--gt", help="ground-truth trajectory log for ATE/RPE")
     s.add_argument("--trace-dir", help="jax.profiler trace output directory")
@@ -491,6 +520,10 @@ def main(argv=None):
 
     s = sub.add_parser("bench", help="sphere2500 GN throughput benchmark")
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("presets",
+                       help="list shipped launch-file-equivalent presets")
+    s.set_defaults(fn=cmd_presets)
 
     args = p.parse_args(argv)
     import jax

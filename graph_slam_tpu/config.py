@@ -15,10 +15,12 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
+import os
 from typing import Optional
 
 __all__ = ["SlamParams", "CameraIntrinsics", "SR4000", "RS435", "RS200",
-           "load_params", "save_params"]
+           "load_params", "save_params", "load_config_dict", "preset_names",
+           "preset_path"]
 
 
 @dataclasses.dataclass
@@ -79,11 +81,60 @@ RS435 = CameraIntrinsics(fx=617.306, fy=617.714, cx=326.245, cy=239.974,
 RS200 = RS435
 
 
-def load_params(path: str) -> SlamParams:
-    """Launch-file replacement: JSON dict of overrides over defaults."""
+# Launch-file presets (the reference's 25 launch/**/*.launch files, SURVEY
+# §5 "launch-file presets become YAML/JSON configs"): JSON files shipped
+# under configs/, addressable by bare name everywhere a --config path is
+# accepted. Reserved top-level sections that are NOT SlamParams fields:
+#   description / source  — provenance (the launch file they mirror)
+#   camera                — intrinsics preset name ("sr4000" | "rs435")
+#   extrinsic             — camera-IMU extrinsic preset
+#   backend               — "gtsam" | "g2o" fake-odo weighting
+#   imu_type              — "vn100" | "mems"
+#   vio                   — pipelines.vio.VioConfig field overrides
+_RESERVED_KEYS = ("description", "source", "camera", "extrinsic", "backend",
+                  "imu_type", "vio")
+_CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "configs")
+
+
+def preset_names() -> list:
+    """Names of the shipped launch-file-equivalent presets."""
+    return sorted(os.path.splitext(f)[0] for f in os.listdir(_CONFIG_DIR)
+                  if f.endswith(".json"))
+
+
+def preset_path(name: str) -> str:
+    return os.path.join(_CONFIG_DIR, name + ".json")
+
+
+def load_config_dict(path_or_name: str) -> dict:
+    """Full config dict from a JSON file path or a shipped preset name."""
+    path = path_or_name
+    if not os.path.exists(path):
+        cand = preset_path(path_or_name)
+        if os.path.exists(cand):
+            path = cand
+        else:
+            raise FileNotFoundError(
+                f"no config file {path_or_name!r} and no preset named "
+                f"{path_or_name!r} (available: {', '.join(preset_names())})")
     with open(path) as f:
-        data = json.load(f)
-    return SlamParams(**data)
+        return json.load(f)
+
+
+def load_params(path_or_name: str) -> SlamParams:
+    """Launch-file replacement: JSON dict of overrides over defaults.
+
+    Accepts a file path or a shipped preset name (``preset_names()``).
+    Reserved non-SlamParams sections (camera/vio/...) are ignored here —
+    the CLI applies them at the driver level.
+    """
+    data = load_config_dict(path_or_name)
+    fields = {f.name for f in dataclasses.fields(SlamParams)}
+    unknown = set(data) - fields - set(_RESERVED_KEYS)
+    if unknown:
+        raise ValueError(f"unknown SlamParams keys: {sorted(unknown)}")
+    return SlamParams(**{k: v for k, v in data.items() if k in fields})
 
 
 def save_params(path: str, params: SlamParams) -> None:

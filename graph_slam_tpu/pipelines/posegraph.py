@@ -88,7 +88,14 @@ def build_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
             # reference replay assumes ordered logs; skip dangling edges
             continue
         gi = seq2graph[id_from]
-        T, info_b = _conjugate_edge(log.xi[k], info, u2c)
+        if failed:
+            # fakeOdoNode semantics (gtsam_graph.cpp:697-722): identity
+            # transform, information I*1e4 — regardless of what the failed
+            # record row carries beyond the info(0,0) sentinel
+            T = se3.Pose(jnp.eye(3), jnp.zeros(3))
+            info_b = np.eye(6) * FAILED_INFO_SENTINEL
+        else:
+            T, info_b = _conjugate_edge(log.xi[k], info, u2c)
 
         if id_to not in seq2graph:
             # odometry edge creating a new node
