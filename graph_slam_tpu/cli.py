@@ -123,7 +123,7 @@ def cmd_vio(args):
     if args.plane_mode:
         vio_kw["plane_mode"] = args.plane_mode
     cfg = VioConfig(optimize_step=params.optimize_step,
-                    robust=params.robust,
+                    robust=params.robust, robust_k=params.robust_k,
                     trace_dir=args.trace_dir, **vio_kw)
     frames = intr = None
     if args.frames:
@@ -269,8 +269,13 @@ def cmd_ba_imu(args):
         run_ba_imu,
     )
 
-    lo, hi = (int(x) for x in args.seqs.split(":")[:2])
-    step = int(args.seqs.split(":")[2]) if args.seqs.count(":") == 2 else 1
+    if args.imu and not args.times:
+        raise SystemExit("ba-imu: --times is required with --imu")
+    parts = args.seqs.split(":")
+    if len(parts) not in (2, 3):
+        raise SystemExit("ba-imu: --seqs must be lo:hi or lo:hi:step")
+    lo, hi = int(parts[0]), int(parts[1])
+    step = int(parts[2]) if len(parts) == 3 else 1
     seqs = list(range(lo, hi, step))
     store = open_frame_source(args.frames)
     K = _camera(args)
@@ -417,9 +422,10 @@ def main(argv=None):
     s.add_argument("--gt", help="ground-truth trajectory log for ATE/RPE")
     s.add_argument("--trace-dir", help="jax.profiler trace output directory")
     s.add_argument("--extrinsic", choices=["sr4000", "identity"],
-                   default="sr4000",
+                   default=None,
                    help="camera-IMU extrinsic: the SR4000 RzRyRx "
-                        "composition (setCamera2IMU) or identity")
+                        "composition (setCamera2IMU) or identity "
+                        "(default sr4000, or the config's)")
     s.set_defaults(fn=cmd_vio)
 
     s = sub.add_parser("convert", help="rewrite a VRO log (ba/hybrid/cut)")

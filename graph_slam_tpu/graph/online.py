@@ -191,6 +191,14 @@ class OnlineGraph:
         # unit measurement normal puts an irreducible floor on the sphere
         # chart residual (cos theta can never reach 1), which LM cannot
         # optimize away (GraphBuilder normalizes identically)
+        cap = self.values.plane.shape[0]
+        if idx >= cap:
+            # JAX drops out-of-bounds scatters silently and the factor
+            # row's clamp-gather would then corrupt landmark cap-1 — fail
+            # loudly like the factor-table _slot guard instead
+            raise RuntimeError(
+                f"plane variable arena full ({cap}); grow(plane_var_cap=...)"
+                " or raise VioConfig.plane_var_cap")
         p = np.asarray(p, np.float64)
         p = p / np.linalg.norm(p[:3])
         self._set_vec_field("plane", "num_planes", idx, p, new)

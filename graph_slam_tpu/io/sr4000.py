@@ -67,10 +67,22 @@ def read_bdat(path: str, shape=SR4000_SHAPE, layout: str | None = None,
     h, w = shape
     n_px = h * w
     raw = np.fromfile(path, np.uint8)
-    if layout is None or header_bytes is None:
-        det_layout, det_hdr = _detect_layout(raw.size, n_px)
-        layout = layout or det_layout
-        header_bytes = det_hdr if header_bytes is None else header_bytes
+    if layout is None and header_bytes is None:
+        layout, header_bytes = _detect_layout(raw.size, n_px)
+    elif layout is None:
+        # header pinned: pick the layout whose pixel payload fits exactly
+        layout = next((lo for lo, bpp in _LAYOUT_BYTES_PER_PX.items()
+                       if raw.size - header_bytes == bpp * n_px), None)
+        if layout is None:
+            layout, _ = _detect_layout(raw.size - header_bytes, n_px)
+    elif header_bytes is None:
+        # layout pinned: the header is whatever precedes ITS payload (the
+        # best-fit layout's header would mis-align an explicit override)
+        header_bytes = raw.size - _LAYOUT_BYTES_PER_PX[layout] * n_px
+        if header_bytes < 0:
+            raise ValueError(
+                f"file too small for layout {layout!r}: {raw.size} B < "
+                f"{_LAYOUT_BYTES_PER_PX[layout] * n_px} B payload")
     buf = raw[header_bytes:]
 
     if layout == "zxyi":

@@ -485,7 +485,15 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
         if id_to not in seq2graph and fast:
             with pt("fused_frame"):
                 a, g_, dts = imu_window_for(id_to)
-                T, info_b = _conjugate_edge(log.xi[k], info, u2c)
+                if failed:
+                    # the between row is written inactive, but its sqrt-info
+                    # still passes through a host Cholesky — reference logs
+                    # carry arbitrary values beyond the info(0,0) sentinel
+                    # on failed rows, so substitute a benign placeholder
+                    T = se3.identity()
+                    info_b = np.eye(6)
+                else:
+                    T, info_b = _conjugate_edge(log.xi[k], info, u2c)
                 gj = len(seq_ids)
                 og = b.og
                 bt_slot = og._slot("between", og.graph.between.i.shape[0])

@@ -149,19 +149,10 @@ def make_frame_matcher(frames, K, seed: int = 0, max_features: int = 256):
     import jax
     import jax.numpy as jnp
 
-    from ..vision.features import extract_features
-    from ..vision.frontend import match_frames_device
+    from ..vision.frontend import make_feature_cache, match_frames_device
 
-    cache: dict = {}
+    feat = make_feature_cache(frames, K, max_features=max_features)
     keyring = [jax.random.PRNGKey(seed)]
-
-    def feat(seq):
-        if seq not in cache:
-            fr = frames(seq)
-            cache[seq] = None if fr is None else extract_features(
-                K, jnp.asarray(fr[0]), jnp.asarray(fr[1]),
-                max_features=max_features)
-        return cache[seq]
 
     def matcher(id_from, id_to):
         fi, fj = feat(id_from), feat(id_to)

@@ -30,11 +30,22 @@ def trace_context(trace_dir: Optional[str]):
         return
     import jax
 
+    # only guard profiler *startup* — an exception from the wrapped body
+    # must propagate unchanged (wrapping the yield in try/except would
+    # re-yield and mask it with contextlib's "generator didn't stop")
     try:
-        with jax.profiler.trace(trace_dir):
-            yield
+        ctx = jax.profiler.trace(trace_dir)
+        ctx.__enter__()
     except Exception:   # profiler unsupported on this backend/build
         yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            ctx.__exit__(None, None, None)
+        except Exception:
+            pass
 
 
 class PhaseTimer:

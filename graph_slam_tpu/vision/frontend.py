@@ -80,7 +80,9 @@ def match_under_prior(key, frame_i: FeatureFrame, frame_j: FeatureFrame,
     descriptor similarity matmul. The relaxed Lowe ratio reflects the
     geometric prior carrying most of the disambiguation.
 
-    Returns (R, t, info, n_inliers, ok), frontend conventions.
+    Returns ``(R, t, info, inliers, nn, ok)``: the rigid estimate, its
+    information, the (Nj,) boolean inlier mask, the (Nj,) index of each
+    j-feature's matched i-feature, and the success flag.
     """
     R0, t0 = T_init
     pred_i = frame_j.pts3 @ jnp.asarray(R0).T + jnp.asarray(t0)
@@ -133,6 +135,28 @@ def refine_edge_ba(key, frame_i: FeatureFrame, frame_j: FeatureFrame,
     return T, info6, chi2
 
 
+def make_feature_cache(frames, K, max_features: int = 256):
+    """``seq_id -> FeatureFrame | None`` with per-sequence memoization.
+
+    The shared lazy extraction closure behind every frame-source-driven
+    tool (``make_ba_fn``, ``tools.make_frame_matcher``): ``frames`` maps a
+    sequence id to ``(intensity, depth) | None``.
+    """
+    from .features import extract_features
+
+    cache: dict = {}
+
+    def feat(seq):
+        if seq not in cache:
+            fr = frames(seq)
+            cache[seq] = None if fr is None else extract_features(
+                K, jnp.asarray(fr[0]), jnp.asarray(fr[1]),
+                max_features=max_features)
+        return cache[seq]
+
+    return feat
+
+
 def make_ba_fn(frames, K, seed: int = 0, max_features: int = 256,
                radius: float = 0.15):
     """Build the ``convert_vo2ba`` refinement closure from a frame source.
@@ -144,18 +168,9 @@ def make_ba_fn(frames, K, seed: int = 0, max_features: int = 256,
     self-contained (the round-1 gap: callers had to supply the closure).
     """
     from ..core import se3
-    from .features import extract_features
 
-    cache: dict = {}
+    feat = make_feature_cache(frames, K, max_features=max_features)
     key_holder = [jax.random.PRNGKey(seed)]
-
-    def feat(seq):
-        if seq not in cache:
-            fr = frames(seq)
-            cache[seq] = None if fr is None else extract_features(
-                K, jnp.asarray(fr[0]), jnp.asarray(fr[1]),
-                max_features=max_features)
-        return cache[seq]
 
     def ba_fn(id_from, id_to, xi_init, valid):
         fi, fj = feat(id_from), feat(id_to)
