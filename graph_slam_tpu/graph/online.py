@@ -24,12 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import se3
-from .factors import FactorGraph, total_error
-from .variables import VariableArena, layout_of
-from .lm import LMParams, lm_optimize, gn_optimize
+from . import solve
+from .factors import FactorGraph, linearize_blocks, total_error
+from .variables import (VariableArena, layout_of, retract_all,
+                        used_slot_mask)
+from .lm import LMParams, LMResult, lm_optimize, gn_optimize
 
 __all__ = ["OnlineGraph", "IncrementalOptimizer",
-           "window_graph", "between_row", "imu_row"]
+           "window_graph", "windowed_gn", "between_row", "imu_row"]
 
 # factor-table field order used for window starts/caps
 _TABLES = ("prior_pose", "between", "prior_vel", "prior_bias", "plane",
@@ -416,6 +418,79 @@ def _free_mask(values: VariableArena, free_from):
     ])
 
 
+@functools.partial(jax.jit, static_argnames=("wcaps", "iterations"))
+def windowed_gn(win: FactorGraph, values: VariableArena, free_from,
+                wcaps, damping, iterations: int = 1):
+    """Compact fixed-lag GN: solve only the free window's tangent dims.
+
+    The masked full-arena formulation (``gn_optimize(update_mask=...)``)
+    freezes old variables correctly but still assembles and factorizes a
+    system of the *arena's* dimension — O(capacity^3) per update with the
+    dense solver, the opposite of bounded cost. Here the normal equations
+    are scattered through a column remap into a dense system of dimension
+    ``Dw = 15*W + 3*plane_cap + 3*point_cap`` (static): absolute tangent
+    columns inside the window map to compact columns, frozen/out-of-window
+    columns map to one trash row that is sliced off before the solve —
+    dropping a column is exactly "treat that variable as a constant".
+    Per-update cost therefore depends only on the window and landmark
+    capacities, flat for arbitrarily long trajectories (the 27k-frame-class
+    runs, gtsam_imuVN100_go.launch:13).
+
+    ``wcaps = (Wp, Wv, Wb)`` static pose/vel/bias window capacities;
+    ``free_from`` the (5,) first-free variable index per kind (planes and
+    points are always fully free — landmark arenas are small and capped).
+    """
+    lay = layout_of(values)
+    dtype = values.pose_t.dtype
+    Wp = min(wcaps[0], lay.pose_cap)
+    Wv = min(wcaps[1], lay.vel_cap)
+    Wb = min(wcaps[2], lay.bias_cap)
+    Dw = 6 * Wp + 3 * Wv + 6 * Wb + 3 * lay.plane_cap + 3 * lay.point_cap
+    trash = Dw
+
+    def kind_cmap(cap, width, lo, Wk, base):
+        idx = jnp.arange(cap)
+        rel = idx - lo
+        ok = (rel >= 0) & (rel < Wk)
+        start = base + rel * width
+        cols = jnp.where(ok[:, None],
+                         start[:, None] + jnp.arange(width)[None, :], trash)
+        return cols.reshape(-1)
+
+    cmap = jnp.concatenate([
+        kind_cmap(lay.pose_cap, 6, free_from[0], Wp, 0),
+        kind_cmap(lay.vel_cap, 3, free_from[1], Wv, 6 * Wp),
+        kind_cmap(lay.bias_cap, 6, free_from[2], Wb, 6 * Wp + 3 * Wv),
+        kind_cmap(lay.plane_cap, 3, 0, lay.plane_cap,
+                  6 * Wp + 3 * Wv + 6 * Wb),
+        kind_cmap(lay.point_cap, 3, 0, lay.point_cap,
+                  6 * Wp + 3 * Wv + 6 * Wb + 3 * lay.plane_cap),
+    ])
+
+    def body(vals, _):
+        # compact used mask (live variables only; re-derived per step so
+        # value counts are read from the current arena)
+        uw = jnp.zeros(Dw + 1, dtype).at[cmap].max(used_slot_mask(vals))
+        uw = uw[:Dw]
+        blocks = linearize_blocks(win, vals)
+        H = jnp.zeros((Dw + 1, Dw + 1), dtype)
+        g = jnp.zeros(Dw + 1, dtype)
+        for r, J, cols in blocks:
+            c = cmap[cols]
+            g = g.at[c].add(jnp.einsum("fei,fe->fi", J, r))
+            H = H.at[c[:, :, None], c[:, None, :]].add(
+                jnp.einsum("fei,fej->fij", J, J))
+        Hw = H[:Dw, :Dw] * uw[:, None] * uw[None, :] + jnp.diag(1.0 - uw)
+        gw = g[:Dw] * uw
+        delta_w = solve.solve_dense(Hw, gw, jnp.asarray(damping, dtype))
+        delta = jnp.concatenate([delta_w,
+                                 jnp.zeros(1, dtype)])[cmap]
+        return retract_all(vals, delta), None
+
+    values, _ = jax.lax.scan(body, values, None, length=iterations)
+    return values, total_error(win, values)
+
+
 class IncrementalOptimizer:
     """ISAM2-equivalent incremental estimation.
 
@@ -430,10 +505,12 @@ class IncrementalOptimizer:
       constant over the run, matching ISAM2's estimate quality exactly.
     - ``window=W`` (fixed-lag): optimize only the last ``W``
       poses/vels/biases over the suffix window of each factor table
-      (``window_graph``), older variables frozen as constants. Per-update
-      cost is O(window), independent of both trajectory length *and* arena
-      capacity — the bounded-cost mode for 27k-frame-class runs
-      (gtsam_imuVN100_go.launch:13).
+      (``window_graph``), older variables frozen as constants, solved as a
+      compact dense system of the *window's* dimension (``windowed_gn``;
+      the ``solver``/``pcg_iters`` options apply to the full mode only).
+      Per-update cost is O(window), independent of both trajectory length
+      *and* arena capacity — the bounded-cost mode for 27k-frame-class
+      runs (gtsam_imuVN100_go.launch:13).
     """
 
     def __init__(self, iters_per_update: int = 1, damping: float = 1e-6,
@@ -483,12 +560,14 @@ class IncrementalOptimizer:
             [max(0, og.num_poses - self.window),
              max(0, og.num_vels - self.window),
              max(0, og.num_biases - self.window), 0, 0], jnp.int32)
-        um = _free_mask(og.values, free_from)
-        res = gn_optimize(win, og.values, iterations=self.iters,
-                          solver=self.solver, damping=self.damping,
-                          pcg_iters=self.pcg_iters, update_mask=um)
-        og.values = res.values
-        return res
+        vals, err = windowed_gn(
+            win, og.values, free_from,
+            wcaps=(self.window, self.window, self.window),
+            damping=self.damping, iterations=self.iters)
+        og.values = vals
+        return LMResult(vals, err, jnp.asarray(self.iters, jnp.int32),
+                        jnp.asarray(self.damping, vals.pose_t.dtype),
+                        jnp.ones((), bool))
 
     def full_batch(self, og: OnlineGraph, params: LMParams = LMParams()):
         res = lm_optimize(og.graph, og.values, params)
