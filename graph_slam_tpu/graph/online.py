@@ -95,7 +95,8 @@ def _append_plane_factor(tb, slot, pose_idx, plane_idx, meas, sqrt_info):
 
 
 def imu_row(tb, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
-            H_p_bg, H_v_ba, H_v_bg, bias_hat, dt, gravity, cov):
+            H_p_bg, H_v_ba, H_v_bg, bias_hat, dt, gravity, cov,
+            active=True):
     """Pure IMU row write incl. on-device whitening (inverse Cholesky of
     the 15x15 covariance); shared by the appender and fused steps."""
     C = 0.5 * (cov + cov.T)
@@ -116,7 +117,7 @@ def imu_row(tb, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
         dt=tb.dt.at[slot].set(dt),
         gravity=tb.gravity.at[slot].set(gravity),
         sqrt_info=tb.sqrt_info.at[slot].set(S),
-        active=tb.active.at[slot].set(True),
+        active=tb.active.at[slot].set(active),
     )
 
 

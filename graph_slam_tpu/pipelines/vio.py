@@ -76,6 +76,9 @@ class VioConfig:
     # "online"  — preallocated OnlineGraph arenas + jitted row appenders; no
     #             host rebuilds, the optimizer never recompiles mid-run (the
     #             ISAM2-role execution model, gtsam_graph.cpp:1768-1776)
+    # "scan"    — the WHOLE replay as one compiled lax.scan program (one
+    #             device dispatch total): plane-free sequential replays,
+    #             compact fixed-lag optimization + feedback on schedule
     # "rebuild" — host-side GraphBuilder rebuild per optimize step (the
     #             round-1 behavior, kept for cross-checking)
     engine: str = "online"
@@ -267,6 +270,273 @@ def _pad_window(acc, gyr, n, dt_nom, max_window):
     return jnp.asarray(acc_p), jnp.asarray(gyr_p), jnp.asarray(dt_p)
 
 
+# ---------------------------------------------------------------------------
+# whole-replay-on-device engine (engine="scan")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gate", "iters", "wcaps", "opt_caps"))
+def _replay_scan(graph, values, xs, imu_params, gravity, gate_thresh,
+                 damping, robust_kind, robust_kval,
+                 gate: bool, iters: int, wcaps, opt_caps):
+    """The ENTIRE sequential VIO replay as one compiled program.
+
+    One ``lax.scan`` over VRO records: per step — IMU-window
+    preintegration, NavState prediction, (optional) chi2 VO gate, pose
+    selection, all arena row writes, and (on schedule) a compact fixed-lag
+    optimization (``windowed_gn``) with bias/state feedback. The graph
+    STRUCTURE (slots, ids, failure flags, optimize schedule, window
+    starts) is host-precomputed from the log — only VALUES flow on device,
+    so a 27,000-frame replay is a single dispatch instead of one per frame
+    (the reference replays host-side frame by frame,
+    test_vro_imu_graph.cpp:158-351).
+    """
+    from ..core import so3 as _so3
+    from ..graph.online import window_graph, windowed_gn
+
+    eye3 = jnp.eye(3, dtype=values.pose_t.dtype)
+
+    def body(carry, x):
+        graph, values, pR, pt_, pv, pb = carry
+        st = integrate_segment(init_preint(pb, imu_params),
+                               x["acc"], x["gyr"], x["dts"], imu_params)
+        prev_pose = se3.Pose(pR, pt_)
+        pred_pose, pred_vel = predict_navstate(st, prev_pose, pv, pb,
+                                               gravity)
+        failed = x["failed"]
+        if gate:
+            R_imu = pR.T @ pred_pose.R
+            e_R = _so3.logmap(x["meas_R"].T @ R_imu)
+            S_R = st.cov[:3, :3] + eye3 * 1e-12
+            chi2 = e_R @ jnp.linalg.solve(S_R, e_R)
+            failed = failed | (x["is_new"] & (chi2 > gate_thresh))
+
+        comp = se3.compose(prev_pose, se3.Pose(x["meas_R"], x["meas_t"]))
+        est_R = jnp.where(failed, pred_pose.R, comp.R)
+        est_t = jnp.where(failed, pred_pose.t, comp.t)
+        new = x["is_new"]
+        gj = x["gj"]
+        # value writes are no-ops for loop-closure records (write back the
+        # current value) — no data-dependent branching
+        values = values._replace(
+            pose_R=values.pose_R.at[gj].set(
+                jnp.where(new, est_R, values.pose_R[gj])),
+            pose_t=values.pose_t.at[gj].set(
+                jnp.where(new, est_t, values.pose_t[gj])),
+            vel=values.vel.at[gj].set(
+                jnp.where(new, pred_vel, values.vel[gj])),
+            bias=values.bias.at[gj].set(
+                jnp.where(new, pb, values.bias[gj])),
+            num_poses=jnp.maximum(values.num_poses, gj + 1),
+            num_vels=jnp.maximum(values.num_vels, gj + 1),
+            num_biases=jnp.maximum(values.num_biases, gj + 1),
+        )
+        active = jnp.where(new, ~failed, x["edge_valid"])
+        bt = online_mod.between_row(
+            graph.between, x["bt_slot"], x["gi"], gj, x["meas_R"],
+            x["meas_t"], x["sqrt_info"], robust_kind, robust_kval,
+            active=active)
+        # loop-closure records park their (inactive, finite) IMU row on the
+        # reserved dummy slot so real slots are never clobbered
+        im = online_mod.imu_row(
+            graph.imu, x["imu_slot"], x["gi"], gj, st.dR, st.dp, st.dv,
+            st.H_R_bg, st.H_p_ba, st.H_p_bg, st.H_v_ba, st.H_v_bg,
+            st.bias_hat, st.dt, gravity, st.cov, active=new)
+        graph = graph._replace(between=bt, imu=im)
+
+        carry = (graph, values,
+                 jnp.where(new, est_R, pR), jnp.where(new, est_t, pt_),
+                 jnp.where(new, pred_vel, pv), pb)
+
+        def optimize(c):
+            g2, v2, _, _, _, _ = c
+            win = window_graph(g2, x["opt_starts"], opt_caps)
+            v3, _ = windowed_gn(win, v2, x["free_from"], wcaps, damping,
+                                iters)
+            j = x["last_gj"]
+            return (g2, v3, v3.pose_R[j], v3.pose_t[j], v3.vel[j],
+                    v3.bias[j])
+
+        return jax.lax.cond(x["do_opt"], optimize, lambda c: c, carry), None
+
+    carry0 = (graph, values, values.pose_R[0], values.pose_t[0],
+              values.vel[0], values.bias[0])
+    (graph, values, *_), _ = jax.lax.scan(body, carry0, xs)
+    return graph, values
+
+
+def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
+                  imu_params: ImuParams, u2c, params: SlamParams,
+                  cfg: VioConfig, lm_params: LMParams) -> VioResult:
+    """Host wrapper for ``engine="scan"``: precompute structure, run the
+    one-dispatch replay, finalize like the per-frame engines."""
+    from ..graph.online import _TABLES
+    from ..utils.profiling import Chi2Log, PhaseTimer, trace_context
+
+    robust_k = cfg.robust_k if cfg.robust == "huber" else None
+    gravity = np.asarray(imu_params.gravity)
+    Wimu = cfg.max_imu_window
+
+    first_seq = int(log.id_from[0])
+    seq2graph = {first_seq: 0}
+    seq_ids = [first_seq]
+    imu.set_start_time(float(t_of(first_seq)))
+    cur = 0
+    n_imu_rows = 0
+    rows = []
+    for k in range(len(log)):
+        id_to = int(log.id_to[k])
+        id_from = int(log.id_from[k])
+        if id_from not in seq2graph:
+            continue  # dangling edge (ordered-log assumption)
+        info = log.info[k]
+        failed = bool(info[0, 0] == FAILED_INFO_SENTINEL)
+        gi = seq2graph[id_from]
+        if failed:
+            T = se3.identity()
+            Sinfo = np.eye(6)
+        else:
+            T, info_b = _conjugate_edge(log.xi[k], info, u2c)
+            Sinfo = _sqrt_info(6, information=info_b)
+        is_new = id_to not in seq2graph
+        if is_new:
+            gj = len(seq_ids)
+            seq2graph[id_to] = gj
+            seq_ids.append(id_to)
+            t_img = float(t_of(id_to))
+            nxt = find_index_at(imu.t, t_img, imu.start)
+            if nxt < 0:
+                nxt = len(imu.t) - imu.start - 1
+            i0, i1 = cur, max(nxt, cur)
+            acc, gyr = imu.window(i0, i1)
+            cur = nxt
+            a = np.zeros((Wimu, 3))
+            g = np.zeros((Wimu, 3))
+            d = np.zeros(Wimu)
+            n = min(i1 - i0, Wimu)
+            a[:n], g[:n], d[:n] = acc[:n], gyr[:n], imu.dt
+            imu_slot = n_imu_rows
+            n_imu_rows += 1
+        else:
+            gj = seq2graph[id_to]
+            # finite single-step placeholder window: keeps the (inactive)
+            # dummy IMU row's covariance Cholesky-factorable
+            a = np.zeros((Wimu, 3))
+            g = np.zeros((Wimu, 3))
+            d = np.zeros(Wimu)
+            d[0] = imu.dt
+            imu_slot = -1  # patched to the dummy slot below
+        # matches the per-frame engines: the cadence check runs after EVERY
+        # record (loop-closure records can re-trigger at the same count)
+        do_opt = bool(cfg.feedback
+                      and len(seq_ids) % cfg.optimize_step == 0)
+        rows.append(dict(
+            is_new=is_new, failed=failed, edge_valid=(not failed),
+            gi=gi, gj=gj, bt_slot=len(rows), imu_slot=imu_slot,
+            last_gj=len(seq_ids) - 1, do_opt=do_opt,
+            meas_R=np.asarray(T.R), meas_t=np.asarray(T.t),
+            sqrt_info=np.asarray(Sinfo), acc=a, gyr=g, dts=d,
+            n_poses=len(seq_ids), n_between=len(rows) + 1,
+            n_imu=n_imu_rows,
+        ))
+    if not rows:
+        raise ValueError("empty VRO log")
+
+    n_frames = len(seq_ids)
+    P = round_up(n_frames, 8)
+    imu_cap = n_imu_rows + 1         # +1 reserved dummy slot
+    between_cap = len(rows)
+    dummy_slot = imu_cap - 1
+
+    graph = empty_graph(prior_pose_cap=4, between_cap=between_cap,
+                        prior_vel_cap=4, prior_bias_cap=4, plane_cap=0,
+                        imu_cap=imu_cap)
+    arena = empty_arena(pose_cap=P, vel_cap=P, bias_cap=P)
+    og = OnlineGraph(graph, arena)
+    og.set_pose(0, se3.identity())
+    og.set_vel(0, np.zeros(3))
+    og.set_bias(0, np.zeros(6))
+    og.add_prior_pose(0, se3.identity(), _sqrt_info(6, sigmas=np.full(6, 1e-7)))
+    og.add_prior_vel(0, np.zeros(3), _sqrt_info(3, sigma=1e-3))
+    og.add_prior_bias(0, np.zeros(6), _sqrt_info(6, sigma=1e-3))
+
+    # fixed-lag window configuration (full-graph when cfg.window is None)
+    Wwin = cfg.window or P
+    table_caps = {name: jax.tree.leaves(getattr(og.graph, name))[0].shape[0]
+                  for name in _TABLES}
+    if cfg.window:
+        want = {"between": 8 * Wwin, "imu": Wwin}
+    else:
+        want = {}
+    opt_caps = tuple(min(table_caps[nm], want.get(nm, table_caps[nm]))
+                     for nm in _TABLES)
+
+    # per-record optimize-window starts + free boundaries (host-known)
+    counts_keys = {"prior_pose": 1, "prior_vel": 1, "prior_bias": 1,
+                   "plane": 0, "projection": 0, "prior_point": 0}
+    for r in rows:
+        counts = dict(counts_keys, between=r["n_between"], imu=r["n_imu"])
+        r["opt_starts"] = np.asarray(
+            [max(0, counts[nm] - opt_caps[t])
+             for t, nm in enumerate(_TABLES)], np.int32)
+        f = max(0, r["n_poses"] - Wwin)
+        r["free_from"] = np.asarray([f, f, f, 0, 0], np.int32)
+        if r["imu_slot"] < 0:
+            r["imu_slot"] = dummy_slot
+
+    def stack(key, dtype=None):
+        out = np.stack([r[key] for r in rows])
+        return jnp.asarray(out if dtype is None else out.astype(dtype))
+
+    xs = {
+        "is_new": stack("is_new", bool), "failed": stack("failed", bool),
+        "edge_valid": stack("edge_valid", bool),
+        "gi": stack("gi", np.int32), "gj": stack("gj", np.int32),
+        "bt_slot": stack("bt_slot", np.int32),
+        "imu_slot": stack("imu_slot", np.int32),
+        "last_gj": stack("last_gj", np.int32),
+        "do_opt": stack("do_opt", bool),
+        "meas_R": stack("meas_R"), "meas_t": stack("meas_t"),
+        "sqrt_info": stack("sqrt_info"),
+        "acc": stack("acc"), "gyr": stack("gyr"), "dts": stack("dts"),
+        "opt_starts": stack("opt_starts"), "free_from": stack("free_from"),
+    }
+
+    chi2_log = Chi2Log()
+    pt = PhaseTimer()
+    with trace_context(cfg.trace_dir):
+        with pt("replay_scan"):
+            dt64 = og.values.pose_t.dtype
+            graph, values = _replay_scan(
+                og.graph, og.values, xs, imu_params,
+                jnp.asarray(gravity, dt64),
+                jnp.asarray(cfg.chi2_threshold, dt64),
+                jnp.asarray(1e-6, dt64),
+                jnp.asarray(0 if robust_k is None else 1, jnp.int32),
+                jnp.asarray(1.0 if robust_k is None else float(robust_k),
+                            dt64),
+                gate=cfg.chi2_vro_gate, iters=cfg.incremental_iters,
+                wcaps=(Wwin, Wwin, Wwin), opt_caps=opt_caps)
+            jax.block_until_ready(values.pose_t)
+
+        n_vo = int(np.asarray(graph.between.active).sum())
+        e0 = float(total_error(graph, values))
+        if cfg.final_batch:
+            with pt("final_batch"):
+                res = lm_optimize(graph, values, lm_params)
+            values = res.values
+            err = float(res.error)
+        else:
+            err = e0
+    chi2_log.add(len(log), n_frames, e0, err)
+
+    return VioResult(values=values, graph=graph,
+                     seq_ids=np.asarray(seq_ids), error0=e0, error=err,
+                     n_imu_factors=n_imu_rows, n_vo_edges=n_vo,
+                     n_plane_factors=0, plane_book=None,
+                     chi2_log=chi2_log, timers=pt.summary())
+
+
 def run_vio(log: VROLog, img_times, imu: ImuStream,
             imu_params: ImuParams, u2c: Optional[se3.Pose] = None,
             plane_obs_provider: Optional[Callable] = None,
@@ -301,6 +571,17 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
     if frames is not None and intrinsics is None:
         raise ValueError("frames mode requires camera intrinsics")
     robust_k = cfg.robust_k if cfg.robust == "huber" else None
+
+    if cfg.engine == "scan":
+        if cfg.plane_mode != "off" or frames is not None \
+                or plane_obs_provider is not None:
+            raise ValueError(
+                "engine='scan' runs the plane-free replay; use "
+                "engine='online' for the plane stack")
+        if not cfg.feedback:
+            raise ValueError("engine='scan' requires feedback=True")
+        return _run_vio_scan(log, t_of, imu, imu_params, u2c, params, cfg,
+                             lm_params)
 
     online = cfg.engine == "online"
     if online:

@@ -1,0 +1,123 @@
+"""Whole-replay-on-device VIO engine (``VioConfig(engine="scan")``).
+
+The scan engine compiles the entire sequential replay — per-frame IMU
+preintegration, prediction, gating, row writes, periodic fixed-lag
+optimization, bias/state feedback — into ONE device program. It must
+reproduce the per-frame online engine's estimates on the same log
+(identical operations, different execution schedule).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graph_slam_tpu.core import se3
+from graph_slam_tpu.imu import (
+    ImuStream,
+    init_preint,
+    integrate_segment,
+    predict_navstate,
+    vn100_params,
+)
+from graph_slam_tpu.io.vro_log import VROLog, failed_edge
+from graph_slam_tpu.pipelines.vio import VioConfig, run_vio
+
+
+def synth_sequence(n_frames=40, per=15, seed=0, fail_at=(17,),
+                   loop_pairs=((30, 10),)):
+    """IMU-consistent trajectory + VRO log with failures and loop closures."""
+    r = np.random.default_rng(seed)
+    params = vn100_params()
+    dt = 1.0 / 200.0
+    n_meas = n_frames * per + 10
+    acc = (r.normal(size=(n_meas, 3)) * 0.05 - np.asarray(params.gravity))
+    gyr = r.normal(size=(n_meas, 3)) * 0.05
+    for k in range(1, n_meas):
+        acc[k] = 0.9 * acc[k - 1] + 0.1 * acc[k]
+        gyr[k] = 0.9 * gyr[k - 1] + 0.1 * gyr[k]
+    stream = ImuStream(t=np.arange(n_meas) * dt, acc=acc, gyr=gyr, dt=dt)
+    X, V = [se3.identity()], [jnp.zeros(3)]
+    for f in range(1, n_frames):
+        st = integrate_segment(init_preint(jnp.zeros(6), params),
+                               jnp.asarray(acc[(f - 1) * per:f * per]),
+                               jnp.asarray(gyr[(f - 1) * per:f * per]),
+                               jnp.full(per, dt), params)
+        Xj, vj = predict_navstate(st, X[-1], V[-1], jnp.zeros(6),
+                                  params.gravity)
+        X.append(Xj)
+        V.append(vj)
+    info = np.diag([8e3] * 3 + [2500.0] * 3)
+    id2, id1, xi, infos = [], [], [], []
+    for f in range(1, n_frames):
+        if f in fail_at:
+            a, b, x, inf = failed_edge(f, f - 1)
+            id2.append(a); id1.append(b); xi.append(x); infos.append(inf)
+        else:
+            id2.append(f); id1.append(f - 1)
+            xi.append(np.asarray(se3.logmap(se3.between(X[f - 1], X[f]))))
+            infos.append(info)
+        for (j, i) in loop_pairs:
+            if j == f:
+                id2.append(j); id1.append(i)
+                xi.append(np.asarray(se3.logmap(se3.between(X[i], X[j]))))
+                infos.append(info)
+    log = VROLog(np.asarray(id2), np.asarray(id1), np.stack(xi),
+                 np.stack(infos))
+    times = {f: f * per * dt for f in range(n_frames)}
+    return log, times, stream, params, X
+
+
+@pytest.mark.parametrize("window", [None, 12])
+def test_scan_matches_online_engine(window):
+    log, times, stream, params, X = synth_sequence()
+    kw = dict(plane_mode="off", optimize_step=10, max_imu_window=32,
+              bucket=64, final_batch=True, window=window)
+    res_scan = run_vio(log, dict(times), stream, params,
+                       cfg=VioConfig(engine="scan", **kw))
+    res_onl = run_vio(log, dict(times), stream, params,
+                      cfg=VioConfig(engine="online", **kw))
+    assert res_scan.n_imu_factors == res_onl.n_imu_factors
+    assert res_scan.n_vo_edges == res_onl.n_vo_edges
+    n = len(res_scan.seq_ids)
+    np.testing.assert_allclose(np.asarray(res_scan.values.pose_t[:n]),
+                               np.asarray(res_onl.values.pose_t[:n]),
+                               atol=1e-8)
+    assert abs(res_scan.error - res_onl.error) <= 1e-8 * max(1.0,
+                                                             res_onl.error)
+
+
+def test_scan_accuracy_against_ground_truth():
+    log, times, stream, params, X = synth_sequence(n_frames=60)
+    cfg = VioConfig(engine="scan", plane_mode="off", optimize_step=5,
+                    max_imu_window=32, bucket=64, window=16,
+                    final_batch=True)
+    res = run_vio(log, times, stream, params, cfg=cfg)
+    gt_t = np.stack([np.asarray(x.t) for x in X])
+    n = len(res.seq_ids)
+    err = np.linalg.norm(np.asarray(res.values.pose_t[:n]) - gt_t[:n],
+                         axis=1)
+    assert float(err.mean()) < 0.02, float(err.mean())
+    assert res.error < 1.0
+
+
+def test_scan_failed_edge_is_inactive_and_imu_carries():
+    log, times, stream, params, X = synth_sequence(fail_at=(5,),
+                                                   loop_pairs=())
+    cfg = VioConfig(engine="scan", plane_mode="off", optimize_step=10,
+                    max_imu_window=32, bucket=64, final_batch=False)
+    res = run_vio(log, times, stream, params, cfg=cfg)
+    # one VO edge lost to the sentinel, every frame still has an IMU factor
+    assert res.n_vo_edges == len(res.seq_ids) - 2
+    assert res.n_imu_factors == len(res.seq_ids) - 1
+    # the pose at the failed frame comes from the IMU prediction: near GT
+    gt_t = np.stack([np.asarray(x.t) for x in X])
+    d = np.linalg.norm(np.asarray(res.values.pose_t[5]) - gt_t[5])
+    assert d < 0.05, d
+
+
+def test_scan_rejects_plane_modes():
+    log, times, stream, params, _ = synth_sequence(n_frames=6,
+                                                   loop_pairs=())
+    with pytest.raises(ValueError, match="scan"):
+        run_vio(log, times, stream, params,
+                cfg=VioConfig(engine="scan", plane_mode="rescue"))
