@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import se3
-from . import solve
 from .factors import FactorGraph, linearize_blocks, total_error
 from .variables import (VariableArena, layout_of, retract_all,
                         used_slot_mask)
@@ -427,12 +426,14 @@ def windowed_gn(win: FactorGraph, values: VariableArena, free_from,
     The masked full-arena formulation (``gn_optimize(update_mask=...)``)
     freezes old variables correctly but still assembles and factorizes a
     system of the *arena's* dimension — O(capacity^3) per update with the
-    dense solver, the opposite of bounded cost. Here the normal equations
-    are scattered through a column remap into a dense system of dimension
-    ``Dw = 15*W + 3*plane_cap + 3*point_cap`` (static): absolute tangent
-    columns inside the window map to compact columns, frozen/out-of-window
-    columns map to one trash row that is sliced off before the solve —
-    dropping a column is exactly "treat that variable as a constant".
+    dense solver, the opposite of bounded cost. Here the whitened Jacobian
+    rows are scattered through a column remap into a compact stacked
+    matrix of width ``Dw = 15*W + 3*plane_cap + 3*point_cap`` (static) and
+    the damped least squares is QR-solved in SQUARE-ROOT form: absolute
+    tangent columns inside the window map to compact columns,
+    frozen/out-of-window columns map to one trash column that is sliced
+    off before the solve — dropping a column is exactly "treat that
+    variable as a constant".
     Per-update cost therefore depends only on the window and landmark
     capacities, flat for arbitrarily long trajectories (the 27k-frame-class
     runs, gtsam_imuVN100_go.launch:13).
@@ -474,16 +475,32 @@ def windowed_gn(win: FactorGraph, values: VariableArena, free_from,
         uw = jnp.zeros(Dw + 1, dtype).at[cmap].max(used_slot_mask(vals))
         uw = uw[:Dw]
         blocks = linearize_blocks(win, vals)
-        H = jnp.zeros((Dw + 1, Dw + 1), dtype)
-        g = jnp.zeros(Dw + 1, dtype)
+        # SQUARE-ROOT solve: stack the whitened Jacobian rows and QR-solve
+        # the damped least squares directly. Forming J^T J squares the
+        # condition number — whitened IMU blocks push it past 1e9, where
+        # the f32 Cholesky produces NaN pivots (observed on both CPU and
+        # TPU backends); cond(J) ~ sqrt of that is comfortably inside f32.
+        A_blocks, b_blocks = [], []
         for r, J, cols in blocks:
-            c = cmap[cols]
-            g = g.at[c].add(jnp.einsum("fei,fe->fi", J, r))
-            H = H.at[c[:, :, None], c[:, None, :]].add(
-                jnp.einsum("fei,fej->fij", J, J))
-        Hw = H[:Dw, :Dw] * uw[:, None] * uw[None, :] + jnp.diag(1.0 - uw)
-        gw = g[:Dw] * uw
-        delta_w = solve.solve_dense(Hw, gw, jnp.asarray(damping, dtype))
+            F, e, td = J.shape
+            c = cmap[cols]                               # (F, td)
+
+            def place(Jf, cf):
+                return jnp.zeros((e, Dw + 1), dtype).at[:, cf].add(Jf)
+
+            A_blocks.append(jax.vmap(place)(J, c).reshape(F * e, Dw + 1))
+            b_blocks.append(r.reshape(F * e))
+        # damping + unused-dim anchoring as extra rows:
+        # (J^T J + diag(lam + (1 - uw))) delta = -J^T r
+        lam = jnp.asarray(damping, dtype)
+        diag_w = jnp.sqrt(lam + (1.0 - uw))
+        A = jnp.concatenate(
+            [jnp.concatenate(A_blocks, axis=0)[:, :Dw] * uw[None, :],
+             jnp.diag(diag_w)], axis=0)
+        b = jnp.concatenate(b_blocks + [jnp.zeros(Dw, dtype)])
+        Q, R = jnp.linalg.qr(A, mode="reduced")
+        delta_w = jax.scipy.linalg.solve_triangular(
+            R, -(Q.T @ b), lower=False)
         delta = jnp.concatenate([delta_w,
                                  jnp.zeros(1, dtype)])[cmap]
         return retract_all(vals, delta), None

@@ -365,6 +365,29 @@ def _replay_scan(graph, values, xs, imu_params, gravity, gate_thresh,
     return graph, values
 
 
+@jax.jit
+def _conjugate_edges_batch(xi, uR, ut):
+    """All VRO edges camera->body in ONE device call (the per-record
+    ``_conjugate_edge`` is eager JAX — one dispatch per edge, which
+    dominates host precompute on remote-attached devices)."""
+    T = jax.vmap(se3.expmap)(xi)
+    u = se3.Pose(uR, ut)
+    uinv = se3.inverse(u)
+
+    def conj(R, t):
+        P = se3.compose(se3.compose(u, se3.Pose(R, t)), uinv)
+        return P.R, P.t
+
+    R, t = jax.vmap(conj)(T.R, T.t)
+    return R, t
+
+
+@jax.jit
+def _expmap_batch(xi):
+    T = jax.vmap(se3.expmap)(xi)
+    return T.R, T.t
+
+
 def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
                   imu_params: ImuParams, u2c, params: SlamParams,
                   cfg: VioConfig, lm_params: LMParams) -> VioResult:
@@ -383,21 +406,37 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     imu.set_start_time(float(t_of(first_seq)))
     cur = 0
     n_imu_rows = 0
+
+    # batched edge conversion: 1-2 device calls for ALL records (the
+    # per-record eager path costs one tunnel dispatch per edge)
+    valid_mask = np.asarray(log.info[:, 0, 0] != FAILED_INFO_SENTINEL)
+    xi_all = jnp.asarray(np.asarray(log.xi, np.float64))
+    if u2c is not None:
+        R_all, t_all = _conjugate_edges_batch(
+            xi_all, jnp.asarray(u2c.R), jnp.asarray(u2c.t))
+        Ad = np.asarray(se3.adjoint(u2c))
+        info_all = np.einsum("ab,kbc,dc->kad", Ad,
+                             np.asarray(log.info, np.float64), Ad)
+    else:
+        R_all, t_all = _expmap_batch(xi_all)
+        info_all = np.asarray(log.info, np.float64)
+    R_all = np.array(R_all)
+    t_all = np.array(t_all)
+    S_all = np.tile(np.eye(6), (len(log), 1, 1))
+    if valid_mask.any():
+        S_all[valid_mask] = np.transpose(
+            np.linalg.cholesky(info_all[valid_mask]), (0, 2, 1))
+    R_all[~valid_mask] = np.eye(3)   # fakeOdo identity on sentinel rows
+    t_all[~valid_mask] = 0.0
+
     rows = []
     for k in range(len(log)):
         id_to = int(log.id_to[k])
         id_from = int(log.id_from[k])
         if id_from not in seq2graph:
             continue  # dangling edge (ordered-log assumption)
-        info = log.info[k]
-        failed = bool(info[0, 0] == FAILED_INFO_SENTINEL)
+        failed = not bool(valid_mask[k])
         gi = seq2graph[id_from]
-        if failed:
-            T = se3.identity()
-            Sinfo = np.eye(6)
-        else:
-            T, info_b = _conjugate_edge(log.xi[k], info, u2c)
-            Sinfo = _sqrt_info(6, information=info_b)
         is_new = id_to not in seq2graph
         if is_new:
             gj = len(seq_ids)
@@ -434,8 +473,8 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
             is_new=is_new, failed=failed, edge_valid=(not failed),
             gi=gi, gj=gj, bt_slot=len(rows), imu_slot=imu_slot,
             last_gj=len(seq_ids) - 1, do_opt=do_opt,
-            meas_R=np.asarray(T.R), meas_t=np.asarray(T.t),
-            sqrt_info=np.asarray(Sinfo), acc=a, gyr=g, dts=d,
+            meas_R=R_all[k], meas_t=t_all[k],
+            sqrt_info=S_all[k], acc=a, gyr=g, dts=d,
             n_poses=len(seq_ids), n_between=len(rows) + 1,
             n_imu=n_imu_rows,
         ))
