@@ -122,6 +122,11 @@ def cmd_vio(args):
     vio_kw = dict(preset.get("vio", {}))
     if args.plane_mode:
         vio_kw["plane_mode"] = args.plane_mode
+    # CLI default is "off" (matching the reference launch default
+    # plane_aided=false) — VioConfig's dataclass default is "rescue"
+    vio_kw.setdefault("plane_mode", "off")
+    if args.engine:
+        vio_kw["engine"] = args.engine
     cfg = VioConfig(optimize_step=params.optimize_step,
                     robust=params.robust, robust_k=params.robust_k,
                     trace_dir=args.trace_dir, **vio_kw)
@@ -415,6 +420,11 @@ def main(argv=None):
                    help="frame directory (.gsf or PNG pairs) enabling the "
                         "frames-driven plane rescue")
     s.add_argument("--camera", choices=["sr4000", "rs435"], default=None)
+    s.add_argument("--engine", choices=["online", "scan", "rebuild"],
+                   default=None,
+                   help="replay engine: per-frame online arenas (default), "
+                        "whole-replay-on-device scan (plane-free), or "
+                        "host-rebuild cross-check")
     s.add_argument("--out-dir", default="out")
     s.add_argument("--config",
                    help="JSON config path or preset name (see 'presets')")
