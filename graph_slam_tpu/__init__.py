@@ -17,6 +17,22 @@ A from-scratch JAX/XLA/Pallas re-design of the capabilities of
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# TPU matmuls default to bfloat16 multiplicands under f32, which is fine
+# for neural nets but poisons an estimator: whitened residual/Jacobian
+# products lose ~5 decimal digits and the 27k-frame VIO replay measurably
+# diverges to NaN. This is a state-estimation framework — numerics are the
+# product — so full-precision accumulation is the package default. The
+# MXU still executes these as (slower) multi-pass f32 matmuls; opt out
+# per-process with GRAPH_SLAM_TPU_MATMUL_PRECISION=default|high|highest.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("GRAPH_SLAM_TPU_MATMUL_PRECISION", "highest"),
+)
+
 from . import core
 from .core import se3, so3, Pose
 

@@ -72,6 +72,9 @@ class VioConfig:
     final_batch: bool = True           # LM at the end (reference outputs)
     feedback: bool = True              # bias/state re-seeding
     bucket: int = 256
+    # scan-engine chunking: records per compiled scan dispatch (one
+    # compilation shared by all chunks; bounds device program run length)
+    scan_chunk: int = 4096
     # incremental execution engine:
     # "online"  — preallocated OnlineGraph arenas + jitted row appenders; no
     #             host rebuilds, the optimizer never recompiles mid-run (the
@@ -276,7 +279,7 @@ def _pad_window(acc, gyr, n, dt_nom, max_window):
 
 @functools.partial(jax.jit,
                    static_argnames=("gate", "iters", "wcaps", "opt_caps"))
-def _replay_scan(graph, values, xs, imu_params, gravity, gate_thresh,
+def _replay_scan(graph, values, xs, prev, imu_params, gravity, gate_thresh,
                  damping, robust_kind, robust_kval,
                  gate: bool, iters: int, wcaps, opt_caps):
     """The ENTIRE sequential VIO replay as one compiled program.
@@ -359,10 +362,9 @@ def _replay_scan(graph, values, xs, imu_params, gravity, gate_thresh,
 
         return jax.lax.cond(x["do_opt"], optimize, lambda c: c, carry), None
 
-    carry0 = (graph, values, values.pose_R[0], values.pose_t[0],
-              values.vel[0], values.bias[0])
-    (graph, values, *_), _ = jax.lax.scan(body, carry0, xs)
-    return graph, values
+    carry0 = (graph, values) + tuple(prev)
+    (graph, values, *prev_out), _ = jax.lax.scan(body, carry0, xs)
+    return graph, values, tuple(prev_out)
 
 
 @jax.jit
@@ -484,8 +486,9 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     n_frames = len(seq_ids)
     P = round_up(n_frames, 8)
     imu_cap = n_imu_rows + 1         # +1 reserved dummy slot
-    between_cap = len(rows)
+    between_cap = len(rows) + 1      # +1 reserved dummy slot (chunk pads)
     dummy_slot = imu_cap - 1
+    dummy_bt = between_cap - 1
 
     graph = empty_graph(prior_pose_cap=4, between_cap=between_cap,
                         prior_vel_cap=4, prior_bias_cap=4, plane_cap=0,
@@ -541,21 +544,57 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
         "opt_starts": stack("opt_starts"), "free_from": stack("free_from"),
     }
 
+    # chunk the scan: one compiled program per <= scan_chunk records (a
+    # single monolithic scan is fastest, but device runtimes can fault on
+    # very long program executions — the reference's 27k-frame budget runs
+    # as ~7 chunked dispatches, all sharing one compilation). The last
+    # chunk is padded with no-op records (inactive rows parked on reserved
+    # dummy slots; carry untouched).
+    CH = cfg.scan_chunk
+    n_rec = len(rows)
+    xs_np = {k: np.asarray(v) for k, v in xs.items()}
+    if n_rec > CH:
+        pad = (-n_rec) % CH
+        if pad:
+            noop = dict(
+                is_new=False, failed=True, edge_valid=False, gi=0, gj=0,
+                bt_slot=dummy_bt, imu_slot=dummy_slot, last_gj=0,
+                do_opt=False, meas_R=np.eye(3), meas_t=np.zeros(3),
+                sqrt_info=np.eye(6),
+                acc=np.zeros((Wimu, 3)), gyr=np.zeros((Wimu, 3)),
+                dts=np.zeros(Wimu), opt_starts=np.zeros(8, np.int32),
+                free_from=np.zeros(5, np.int32))
+            noop["dts"][0] = imu.dt
+            for k in xs_np:
+                tail = np.broadcast_to(
+                    np.asarray(noop[k], xs_np[k].dtype),
+                    (pad,) + xs_np[k].shape[1:])
+                xs_np[k] = np.concatenate([xs_np[k], tail])
+        chunks = [
+            {k: jnp.asarray(v[c:c + CH]) for k, v in xs_np.items()}
+            for c in range(0, len(xs_np["is_new"]), CH)]
+    else:
+        chunks = [xs]
+
     chi2_log = Chi2Log()
     pt = PhaseTimer()
     with trace_context(cfg.trace_dir):
         with pt("replay_scan"):
             dt64 = og.values.pose_t.dtype
-            graph, values = _replay_scan(
-                og.graph, og.values, xs, imu_params,
-                jnp.asarray(gravity, dt64),
-                jnp.asarray(cfg.chi2_threshold, dt64),
-                jnp.asarray(1e-6, dt64),
-                jnp.asarray(0 if robust_k is None else 1, jnp.int32),
-                jnp.asarray(1.0 if robust_k is None else float(robust_k),
-                            dt64),
-                gate=cfg.chi2_vro_gate, iters=cfg.incremental_iters,
-                wcaps=(Wwin, Wwin, Wwin), opt_caps=opt_caps)
+            graph, values = og.graph, og.values
+            prev = (values.pose_R[0], values.pose_t[0], values.vel[0],
+                    values.bias[0])
+            for xs_c in chunks:
+                graph, values, prev = _replay_scan(
+                    graph, values, xs_c, prev, imu_params,
+                    jnp.asarray(gravity, dt64),
+                    jnp.asarray(cfg.chi2_threshold, dt64),
+                    jnp.asarray(1e-6, dt64),
+                    jnp.asarray(0 if robust_k is None else 1, jnp.int32),
+                    jnp.asarray(1.0 if robust_k is None
+                                else float(robust_k), dt64),
+                    gate=cfg.chi2_vro_gate, iters=cfg.incremental_iters,
+                    wcaps=(Wwin, Wwin, Wwin), opt_caps=opt_caps)
             jax.block_until_ready(values.pose_t)
 
         n_vo = int(np.asarray(graph.between.active).sum())

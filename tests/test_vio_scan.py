@@ -115,6 +115,23 @@ def test_scan_failed_edge_is_inactive_and_imu_carries():
     assert d < 0.05, d
 
 
+def test_scan_chunked_matches_monolithic():
+    """Chunked dispatch (padded no-op records, carried feedback state)
+    must be bit-equivalent to the single-scan replay."""
+    log, times, stream, params, X = synth_sequence(n_frames=40)
+    kw = dict(engine="scan", plane_mode="off", optimize_step=10,
+              max_imu_window=32, bucket=64, window=12, final_batch=False)
+    res_mono = run_vio(log, dict(times), stream, params,
+                       cfg=VioConfig(scan_chunk=4096, **kw))
+    res_chunk = run_vio(log, dict(times), stream, params,
+                        cfg=VioConfig(scan_chunk=7, **kw))
+    n = len(res_mono.seq_ids)
+    np.testing.assert_array_equal(np.asarray(res_chunk.values.pose_t[:n]),
+                                  np.asarray(res_mono.values.pose_t[:n]))
+    assert res_chunk.error == res_mono.error
+    assert res_chunk.n_vo_edges == res_mono.n_vo_edges
+
+
 def test_scan_rejects_plane_modes():
     log, times, stream, params, _ = synth_sequence(n_frames=6,
                                                    loop_pairs=())
