@@ -26,12 +26,14 @@ import jax as _jax
 # products lose ~5 decimal digits and the 27k-frame VIO replay measurably
 # diverges to NaN. This is a state-estimation framework — numerics are the
 # product — so full-precision accumulation is the package default. The
-# MXU still executes these as (slower) multi-pass f32 matmuls; opt out
-# per-process with GRAPH_SLAM_TPU_MATMUL_PRECISION=default|high|highest.
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("GRAPH_SLAM_TPU_MATMUL_PRECISION", "highest"),
-)
+# MXU still executes these as (slower) multi-pass f32 matmuls. An
+# explicit user choice wins: we only set the default when the application
+# has not already configured it (opt out per-process with
+# GRAPH_SLAM_TPU_MATMUL_PRECISION=default|high|highest).
+if _jax.config.jax_default_matmul_precision is None:
+    _prec = _os.environ.get("GRAPH_SLAM_TPU_MATMUL_PRECISION", "highest")
+    if _prec != "default":
+        _jax.config.update("jax_default_matmul_precision", _prec)
 
 from . import core
 from .core import se3, so3, Pose

@@ -122,9 +122,10 @@ def cmd_vio(args):
     vio_kw = dict(preset.get("vio", {}))
     if args.plane_mode:
         vio_kw["plane_mode"] = args.plane_mode
-    # CLI default is "off" (matching the reference launch default
-    # plane_aided=false) — VioConfig's dataclass default is "rescue"
-    vio_kw.setdefault("plane_mode", "off")
+    # CLI default: "off" (the reference launch default plane_aided=false),
+    # EXCEPT when the user supplies frames — the flag's whole purpose is
+    # the frames-driven plane rescue, so it must not be silently inert
+    vio_kw.setdefault("plane_mode", "rescue" if args.frames else "off")
     if args.engine:
         vio_kw["engine"] = args.engine
     cfg = VioConfig(optimize_step=params.optimize_step,

@@ -29,8 +29,6 @@ def solve_dense(H, g, lam):
     return jsl.solve_triangular(L.T, y, lower=False)
 
 
-
-
 def solve_pcg(hvp, g, precond_diag, max_iters: int = 250, tol: float = 1e-10):
     """delta = -(H+lam I)^-1 g by Jacobi-preconditioned CG, fixed trip count.
 

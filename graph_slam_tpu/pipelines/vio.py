@@ -199,26 +199,27 @@ class _OnlineVioGraph:
                                  _sqrt_info(3, **noise))
 
 
-@functools.partial(jax.jit, static_argnames=("gate",))
-def _fused_vio_step(graph, values, imu_params: ImuParams, acc, gyr, dts,
-                    prev_R, prev_t, prev_vel, prev_bias,
-                    meas_R, meas_t, sqrt_info_vo, robust_kind, robust_k,
-                    failed, gj, bt_slot, imu_slot, gravity,
-                    gate: bool = False, gate_thresh: float = 4e4):
-    """One VIO frame as ONE device program.
+def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
+                      prev_R, prev_t, prev_vel, prev_bias,
+                      meas_R, meas_t, sqrt_info_vo, robust_kind, robust_k,
+                      failed, is_new, edge_valid, gi, gj, bt_slot,
+                      imu_slot, gravity, gate: bool, gate_thresh):
+    """The per-record VIO device kernel SHARED by both fused engines.
 
-    Fuses the whole per-frame device pipeline — preintegration scan,
-    NavState prediction, the (optional) chi2 IMU-vs-VRO rotation gate, the
-    VO/IMU-consistent pose selection, and all arena row writes (pose, vel,
-    bias values; between + CombinedImu factor rows) — into a single jitted
-    call. The host-driven online replay previously paid ~8 device
-    dispatches per frame; over a remote TPU link each dispatch costs more
-    than the math, so the fused step is the online engine's throughput
-    path (used by ``run_vio`` when no plane stack is active).
+    Preintegration scan, NavState prediction, the (optional) chi2
+    IMU-vs-VRO rotation gate (test_vro_imu_graph.cpp:677-782), the
+    VO/IMU-consistent pose selection, and all arena row writes — one
+    traced unit, so the per-frame online fast path (``_fused_vio_step``)
+    and the whole-replay scan engine (``_replay_scan``) execute literally
+    the same operations and cannot drift apart.
 
-    The between row is written with ``active = ~failed`` so a gated or
-    sentinel-failed edge costs its slot but not its residual — no
-    data-dependent host branch, nothing read back per frame.
+    ``is_new`` False (loop-closure records in the scan engine) turns the
+    value writes into no-ops, parks the IMU row inactive, and leaves the
+    feedback state untouched; the between row's ``active`` is
+    ``~failed`` for new frames and ``edge_valid`` otherwise.
+
+    Returns ``(graph, values, fb, est_R, est_t, pred_vel)`` where ``fb``
+    is the (R, t, vel, bias) feedback state after this record.
     """
     from ..core import so3 as _so3
 
@@ -229,40 +230,73 @@ def _fused_vio_step(graph, values, imu_params: ImuParams, acc, gyr, dts,
     pred_pose, pred_vel = predict_navstate(st, prev_pose, prev_vel,
                                            prev_bias, gravity)
     if gate:
-        # rotation consistency gate (test_vro_imu_graph.cpp:677-782)
         R_imu = prev_R.T @ pred_pose.R
         e_R = _so3.logmap(meas_R.T @ R_imu)
         S_R = st.cov[:3, :3] + jnp.eye(3, dtype=prev_t.dtype) * 1e-12
         chi2 = e_R @ jnp.linalg.solve(S_R, e_R)
-        failed = failed | (chi2 > gate_thresh)
+        failed = failed | (is_new & (chi2 > gate_thresh))
 
     comp = se3.compose(prev_pose, se3.Pose(meas_R, meas_t))
     est_R = jnp.where(failed, pred_pose.R, comp.R)
     est_t = jnp.where(failed, pred_pose.t, comp.t)
 
     values = values._replace(
-        pose_R=values.pose_R.at[gj].set(est_R),
-        pose_t=values.pose_t.at[gj].set(est_t),
-        vel=values.vel.at[gj].set(pred_vel),
-        bias=values.bias.at[gj].set(prev_bias),
+        pose_R=values.pose_R.at[gj].set(
+            jnp.where(is_new, est_R, values.pose_R[gj])),
+        pose_t=values.pose_t.at[gj].set(
+            jnp.where(is_new, est_t, values.pose_t[gj])),
+        vel=values.vel.at[gj].set(
+            jnp.where(is_new, pred_vel, values.vel[gj])),
+        bias=values.bias.at[gj].set(
+            jnp.where(is_new, prev_bias, values.bias[gj])),
         num_poses=jnp.maximum(values.num_poses, gj + 1),
         num_vels=jnp.maximum(values.num_vels, gj + 1),
         num_biases=jnp.maximum(values.num_biases, gj + 1),
     )
-    gi = gj - 1
+    active = jnp.where(is_new, ~failed, edge_valid)
     bt = online_mod.between_row(graph.between, bt_slot, gi, gj, meas_R,
                                 meas_t, sqrt_info_vo, robust_kind,
-                                robust_k, active=~failed)
+                                robust_k, active=active)
     im = online_mod.imu_row(graph.imu, imu_slot, gi, gj, st.dR, st.dp,
                             st.dv, st.H_R_bg, st.H_p_ba, st.H_p_bg,
                             st.H_v_ba, st.H_v_bg, st.bias_hat, st.dt,
-                            gravity, st.cov)
+                            gravity, st.cov, active=is_new)
     graph = graph._replace(between=bt, imu=im)
+    fb = (jnp.where(is_new, est_R, prev_R),
+          jnp.where(is_new, est_t, prev_t),
+          jnp.where(is_new, pred_vel, prev_vel), prev_bias)
+    return graph, values, fb, est_R, est_t, pred_vel
+
+
+@functools.partial(jax.jit, static_argnames=("gate",))
+def _fused_vio_step(graph, values, imu_params: ImuParams, acc, gyr, dts,
+                    prev_R, prev_t, prev_vel, prev_bias,
+                    meas_R, meas_t, sqrt_info_vo, robust_kind, robust_k,
+                    failed, gj, bt_slot, imu_slot, gravity,
+                    gate: bool = False, gate_thresh: float = 4e4):
+    """One VIO frame as ONE device program (the online engine's fast
+    path when no plane stack is active; see ``_vio_frame_kernel``).
+
+    The between row is written with ``active = ~failed`` so a gated or
+    sentinel-failed edge costs its slot but not its residual — no
+    data-dependent host branch, nothing read back per frame.
+    """
+    graph, values, _, est_R, est_t, pred_vel = _vio_frame_kernel(
+        graph, values, imu_params, acc, gyr, dts, prev_R, prev_t,
+        prev_vel, prev_bias, meas_R, meas_t, sqrt_info_vo, robust_kind,
+        robust_k, failed, jnp.asarray(True), jnp.asarray(True),
+        gj - 1, gj, bt_slot, imu_slot, gravity, gate,
+        jnp.asarray(gate_thresh, prev_t.dtype))
     return graph, values, est_R, est_t, pred_vel
 
 
 def _pad_window(acc, gyr, n, dt_nom, max_window):
-    """Fixed-shape measurement window (masked rows have dt=0)."""
+    """Fixed-shape measurement window (masked rows have dt=0).
+
+    An EMPTY window (non-advancing image timestamp) gets one zero-motion
+    step: an all-zero ``dt`` vector makes the preintegration covariance
+    singular and the IMU row's whitening Cholesky NaN.
+    """
     acc_p = np.zeros((max_window, 3))
     gyr_p = np.zeros((max_window, 3))
     dt_p = np.zeros(max_window)
@@ -270,6 +304,8 @@ def _pad_window(acc, gyr, n, dt_nom, max_window):
     acc_p[:k] = acc[:k]
     gyr_p[:k] = gyr[:k]
     dt_p[:k] = dt_nom
+    if k == 0:
+        dt_p[0] = dt_nom
     return jnp.asarray(acc_p), jnp.asarray(gyr_p), jnp.asarray(dt_p)
 
 
@@ -290,66 +326,26 @@ def _replay_scan(graph, values, xs, prev, imu_params, gravity, gate_thresh,
     optimization (``windowed_gn``) with bias/state feedback. The graph
     STRUCTURE (slots, ids, failure flags, optimize schedule, window
     starts) is host-precomputed from the log — only VALUES flow on device,
-    so a 27,000-frame replay is a single dispatch instead of one per frame
-    (the reference replays host-side frame by frame,
-    test_vro_imu_graph.cpp:158-351).
+    so a 27,000-frame replay is a handful of chunked dispatches sharing
+    one compilation instead of one dispatch per frame (the reference
+    replays host-side frame by frame, test_vro_imu_graph.cpp:158-351).
+    ``prev`` is the (R, t, vel, bias) feedback state entering the chunk;
+    the updated state is returned for the next chunk.
     """
-    from ..core import so3 as _so3
     from ..graph.online import window_graph, windowed_gn
-
-    eye3 = jnp.eye(3, dtype=values.pose_t.dtype)
 
     def body(carry, x):
         graph, values, pR, pt_, pv, pb = carry
-        st = integrate_segment(init_preint(pb, imu_params),
-                               x["acc"], x["gyr"], x["dts"], imu_params)
-        prev_pose = se3.Pose(pR, pt_)
-        pred_pose, pred_vel = predict_navstate(st, prev_pose, pv, pb,
-                                               gravity)
-        failed = x["failed"]
-        if gate:
-            R_imu = pR.T @ pred_pose.R
-            e_R = _so3.logmap(x["meas_R"].T @ R_imu)
-            S_R = st.cov[:3, :3] + eye3 * 1e-12
-            chi2 = e_R @ jnp.linalg.solve(S_R, e_R)
-            failed = failed | (x["is_new"] & (chi2 > gate_thresh))
-
-        comp = se3.compose(prev_pose, se3.Pose(x["meas_R"], x["meas_t"]))
-        est_R = jnp.where(failed, pred_pose.R, comp.R)
-        est_t = jnp.where(failed, pred_pose.t, comp.t)
-        new = x["is_new"]
-        gj = x["gj"]
-        # value writes are no-ops for loop-closure records (write back the
-        # current value) — no data-dependent branching
-        values = values._replace(
-            pose_R=values.pose_R.at[gj].set(
-                jnp.where(new, est_R, values.pose_R[gj])),
-            pose_t=values.pose_t.at[gj].set(
-                jnp.where(new, est_t, values.pose_t[gj])),
-            vel=values.vel.at[gj].set(
-                jnp.where(new, pred_vel, values.vel[gj])),
-            bias=values.bias.at[gj].set(
-                jnp.where(new, pb, values.bias[gj])),
-            num_poses=jnp.maximum(values.num_poses, gj + 1),
-            num_vels=jnp.maximum(values.num_vels, gj + 1),
-            num_biases=jnp.maximum(values.num_biases, gj + 1),
-        )
-        active = jnp.where(new, ~failed, x["edge_valid"])
-        bt = online_mod.between_row(
-            graph.between, x["bt_slot"], x["gi"], gj, x["meas_R"],
-            x["meas_t"], x["sqrt_info"], robust_kind, robust_kval,
-            active=active)
-        # loop-closure records park their (inactive, finite) IMU row on the
-        # reserved dummy slot so real slots are never clobbered
-        im = online_mod.imu_row(
-            graph.imu, x["imu_slot"], x["gi"], gj, st.dR, st.dp, st.dv,
-            st.H_R_bg, st.H_p_ba, st.H_p_bg, st.H_v_ba, st.H_v_bg,
-            st.bias_hat, st.dt, gravity, st.cov, active=new)
-        graph = graph._replace(between=bt, imu=im)
-
-        carry = (graph, values,
-                 jnp.where(new, est_R, pR), jnp.where(new, est_t, pt_),
-                 jnp.where(new, pred_vel, pv), pb)
+        # shared per-record kernel (identical traced ops to the per-frame
+        # online fast path); loop-closure records park their (inactive,
+        # finite) IMU row on the reserved dummy slot
+        graph, values, fb, *_ = _vio_frame_kernel(
+            graph, values, imu_params, x["acc"], x["gyr"], x["dts"],
+            pR, pt_, pv, pb, x["meas_R"], x["meas_t"], x["sqrt_info"],
+            robust_kind, robust_kval, x["failed"], x["is_new"],
+            x["edge_valid"], x["gi"], x["gj"], x["bt_slot"],
+            x["imu_slot"], gravity, gate, gate_thresh)
+        carry = (graph, values) + fb
 
         def optimize(c):
             g2, v2, _, _, _, _ = c
@@ -402,6 +398,8 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     gravity = np.asarray(imu_params.gravity)
     Wimu = cfg.max_imu_window
 
+    if len(log) == 0:
+        raise ValueError("empty VRO log")
     first_seq = int(log.id_from[0])
     seq2graph = {first_seq: 0}
     seq_ids = [first_seq]
@@ -440,6 +438,10 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
         failed = not bool(valid_mask[k])
         gi = seq2graph[id_from]
         is_new = id_to not in seq2graph
+        if failed and not is_new:
+            # failed loop closure: the per-frame engines skip the record
+            # entirely (no row, no optimize-cadence check) — match them
+            continue
         if is_new:
             gj = len(seq_ids)
             seq2graph[id_to] = gj
@@ -456,6 +458,12 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
             d = np.zeros(Wimu)
             n = min(i1 - i0, Wimu)
             a[:n], g[:n], d[:n] = acc[:n], gyr[:n], imu.dt
+            if n == 0:
+                # empty measurement window (non-advancing image timestamp):
+                # a single zero-motion step keeps the preintegration
+                # covariance nonsingular so the ACTIVE row's whitening
+                # Cholesky stays finite
+                d[0] = imu.dt
             imu_slot = n_imu_rows
             n_imu_rows += 1
         else:
@@ -503,6 +511,12 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     og.add_prior_bias(0, np.zeros(6), _sqrt_info(6, sigma=1e-3))
 
     # fixed-lag window configuration (full-graph when cfg.window is None)
+    if cfg.window is None and n_frames > 2048:
+        raise ValueError(
+            f"engine='scan' on {n_frames} frames requires a fixed-lag "
+            "window (set VioConfig.window): with window=None every "
+            "scheduled optimization QR-solves the FULL arena dimension "
+            "inside the compiled scan")
     Wwin = cfg.window or P
     table_caps = {name: jax.tree.leaves(getattr(og.graph, name))[0].shape[0]
                   for name in _TABLES}
@@ -526,11 +540,14 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
         if r["imu_slot"] < 0:
             r["imu_slot"] = dummy_slot
 
+    # host-side stacking only: chunks upload lazily, one per dispatch
+    # (stacking straight to device would round-trip the ~512-sample IMU
+    # windows — hundreds of MB on long replays — three times)
     def stack(key, dtype=None):
         out = np.stack([r[key] for r in rows])
-        return jnp.asarray(out if dtype is None else out.astype(dtype))
+        return out if dtype is None else out.astype(dtype)
 
-    xs = {
+    xs_np = {
         "is_new": stack("is_new", bool), "failed": stack("failed", bool),
         "edge_valid": stack("edge_valid", bool),
         "gi": stack("gi", np.int32), "gj": stack("gj", np.int32),
@@ -552,7 +569,6 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     # dummy slots; carry untouched).
     CH = cfg.scan_chunk
     n_rec = len(rows)
-    xs_np = {k: np.asarray(v) for k, v in xs.items()}
     if n_rec > CH:
         pad = (-n_rec) % CH
         if pad:
@@ -570,11 +586,11 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
                     np.asarray(noop[k], xs_np[k].dtype),
                     (pad,) + xs_np[k].shape[1:])
                 xs_np[k] = np.concatenate([xs_np[k], tail])
-        chunks = [
-            {k: jnp.asarray(v[c:c + CH]) for k, v in xs_np.items()}
-            for c in range(0, len(xs_np["is_new"]), CH)]
+        chunk_starts = range(0, len(xs_np["is_new"]), CH)
+        chunks = ({k: jnp.asarray(v[c:c + CH]) for k, v in xs_np.items()}
+                  for c in chunk_starts)
     else:
-        chunks = [xs]
+        chunks = iter([{k: jnp.asarray(v) for k, v in xs_np.items()}])
 
     chi2_log = Chi2Log()
     pt = PhaseTimer()

@@ -25,3 +25,20 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on host CPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full suite compiles many hundred XLA CPU programs in one process;
+    with all of them kept alive the CPU backend eventually SEGFAULTS
+    inside ``backend_compile_and_load`` (reproducibly at ~80% of the
+    suite, while the same module passes standalone). Dropping the
+    executable caches between modules keeps the JIT state bounded at the
+    cost of cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()

@@ -132,6 +132,51 @@ def test_scan_chunked_matches_monolithic():
     assert res_chunk.n_vo_edges == res_mono.n_vo_edges
 
 
+def test_scan_failed_loop_closure_parity():
+    """A sentinel-FAILED loop closure must be skipped entirely (no row, no
+    optimize-cadence trigger), exactly like the per-frame engines — a
+    divergence here shifted the optimize schedule by one record."""
+    log, times, stream, params, X = synth_sequence(
+        n_frames=22, fail_at=(), loop_pairs=())
+    # append a failed loop closure right at an optimize boundary
+    from graph_slam_tpu.io.vro_log import failed_edge
+    a, b, x, inf = failed_edge(19, 9)
+    log = VROLog(np.append(log.id_to, a), np.append(log.id_from, b),
+                 np.vstack([log.xi, x]), np.vstack([log.info, inf[None]]))
+    order = np.argsort(log.id_to, kind="stable")
+    log = VROLog(log.id_to[order], log.id_from[order], log.xi[order],
+                 log.info[order])
+    kw = dict(plane_mode="off", optimize_step=10, max_imu_window=32,
+              bucket=64, final_batch=False)
+    res_scan = run_vio(log, dict(times), stream, params,
+                       cfg=VioConfig(engine="scan", **kw))
+    res_onl = run_vio(log, dict(times), stream, params,
+                      cfg=VioConfig(engine="online", **kw))
+    n = len(res_scan.seq_ids)
+    np.testing.assert_allclose(np.asarray(res_scan.values.pose_t[:n]),
+                               np.asarray(res_onl.values.pose_t[:n]),
+                               atol=1e-9)
+    assert res_scan.n_vo_edges == res_onl.n_vo_edges
+
+
+def test_scan_empty_imu_window_stays_finite():
+    """Non-advancing image timestamps give a frame an EMPTY measurement
+    window; the preintegration covariance must stay nonsingular (a
+    zero-motion step) instead of poisoning the replay with NaN."""
+    log, times, stream, params, X = synth_sequence(n_frames=8,
+                                                   loop_pairs=(),
+                                                   fail_at=())
+    times = dict(times)
+    times[4] = times[3]   # duplicate timestamp -> empty window for frame 4
+    for eng in ("scan", "online"):
+        res = run_vio(log, dict(times), stream, params,
+                      cfg=VioConfig(engine=eng, plane_mode="off",
+                                    optimize_step=4, max_imu_window=32,
+                                    bucket=64, final_batch=False))
+        assert np.isfinite(res.error), (eng, res.error)
+        assert np.isfinite(np.asarray(res.values.pose_t[:8])).all(), eng
+
+
 def test_scan_rejects_plane_modes():
     log, times, stream, params, _ = synth_sequence(n_frames=6,
                                                    loop_pairs=())

@@ -135,8 +135,9 @@ class TestWindowedGnBoundedCost:
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             f = float(ca.get("flops", 0.0))
-            if f <= 0:   # cost analysis unavailable on this backend
-                return
+            if f <= 0:
+                import pytest
+                pytest.skip("XLA cost analysis unavailable on this backend")
             flops.append(f)
         # capacity x8, between rows x8 -> only the O(capacity) remap terms
         # may grow; the window solve must dominate
