@@ -75,6 +75,9 @@ class VioConfig:
     # scan-engine chunking: records per compiled scan dispatch (one
     # compilation shared by all chunks; bounds device program run length)
     scan_chunk: int = 4096
+    # opt-in per-chunk chi2 records (costs one extra program between chunk
+    # dispatches, which degrades remote-relay throughput)
+    chunk_chi2_log: bool = False
     # incremental execution engine:
     # "online"  — preallocated OnlineGraph arenas + jitted row appenders; no
     #             host rebuilds, the optimizer never recompiles mid-run (the
@@ -600,6 +603,7 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
             graph, values = og.graph, og.values
             prev = (values.pose_R[0], values.pose_t[0], values.vel[0],
                     values.bias[0])
+            done = 0
             for xs_c in chunks:
                 graph, values, prev = _replay_scan(
                     graph, values, xs_c, prev, imu_params,
@@ -611,6 +615,15 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
                                 else float(robust_k), dt64),
                     gate=cfg.chi2_vro_gate, iters=cfg.incremental_iters,
                     wcaps=(Wwin, Wwin, Wwin), opt_caps=opt_caps)
+                done += int(xs_c["is_new"].shape[0])
+                if cfg.chunk_chi2_log and done < n_rec:
+                    # per-chunk chi2 record (the reference's error-
+                    # before/after observability pattern at chunk scale).
+                    # Opt-in: executing total_error between chunk
+                    # dispatches degrades remote-relay throughput ~4x
+                    chi2_log.add(min(done, n_rec),
+                                 int(np.asarray(values.num_poses)), None,
+                                 float(total_error(graph, values)))
             jax.block_until_ready(values.pose_t)
 
         n_vo = int(np.asarray(graph.between.active).sum())
