@@ -535,6 +535,8 @@ class IncrementalOptimizer:
                  solver: str = "dense", pcg_iters: int = 100,
                  window: Optional[int] = None,
                  window_factor_caps: Optional[dict] = None):
+        if window is not None and window <= 0:
+            raise ValueError("window must be positive or None")
         self.iters = iters_per_update
         self.damping = damping
         self.solver = solver

@@ -177,6 +177,10 @@ class _OnlineVioGraph:
         self.og.set_pose(idx, se3.Pose(jnp.asarray(Rt[0]),
                                        jnp.asarray(Rt[1])), new=False)
 
+    def pose(self, idx):
+        p = self.og.pose(idx)
+        return np.asarray(p.R), np.asarray(p.t)
+
     # -- factors ----------------------------------------------------------
     def add_prior_pose(self, idx, Rt, **noise):
         self.og.add_prior_pose(idx, se3.Pose(jnp.asarray(Rt[0]),
@@ -205,8 +209,8 @@ class _OnlineVioGraph:
 def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
                       prev_R, prev_t, prev_vel, prev_bias,
                       meas_R, meas_t, sqrt_info_vo, robust_kind, robust_k,
-                      failed, is_new, edge_valid, gi, gj, bt_slot,
-                      imu_slot, gravity, gate: bool, gate_thresh):
+                      failed, is_new, edge_valid, gi_vo, gi_imu, gj,
+                      bt_slot, imu_slot, gravity, gate: bool, gate_thresh):
     """The per-record VIO device kernel SHARED by both fused engines.
 
     Preintegration scan, NavState prediction, the (optional) chi2
@@ -215,6 +219,15 @@ def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
     traced unit, so the per-frame online fast path (``_fused_vio_step``)
     and the whole-replay scan engine (``_replay_scan``) execute literally
     the same operations and cannot drift apart.
+
+    Index semantics match the reference driver: the VO between-factor
+    connects the MATCHED pair ``(gi_vo, gj)`` and the VO initial estimate
+    composes from the matched node's pose (addToGTSAM,
+    gtsam_graph.cpp:655-668), while the CombinedImuFactor always connects
+    CONSECUTIVE frames ``(gi_imu = gj-1, gj)`` — the preintegration window
+    spans from the previous frame (test_vro_imu_graph.cpp:191-196). The
+    two coincide on sequential logs but differ when tracking recovers
+    against an older keyframe.
 
     ``is_new`` False (loop-closure records in the scan engine) turns the
     value writes into no-ops, parks the IMU row inactive, and leaves the
@@ -239,7 +252,8 @@ def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
         chi2 = e_R @ jnp.linalg.solve(S_R, e_R)
         failed = failed | (is_new & (chi2 > gate_thresh))
 
-    comp = se3.compose(prev_pose, se3.Pose(meas_R, meas_t))
+    base = se3.Pose(values.pose_R[gi_vo], values.pose_t[gi_vo])
+    comp = se3.compose(base, se3.Pose(meas_R, meas_t))
     est_R = jnp.where(failed, pred_pose.R, comp.R)
     est_t = jnp.where(failed, pred_pose.t, comp.t)
 
@@ -257,10 +271,10 @@ def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
         num_biases=jnp.maximum(values.num_biases, gj + 1),
     )
     active = jnp.where(is_new, ~failed, edge_valid)
-    bt = online_mod.between_row(graph.between, bt_slot, gi, gj, meas_R,
+    bt = online_mod.between_row(graph.between, bt_slot, gi_vo, gj, meas_R,
                                 meas_t, sqrt_info_vo, robust_kind,
                                 robust_k, active=active)
-    im = online_mod.imu_row(graph.imu, imu_slot, gi, gj, st.dR, st.dp,
+    im = online_mod.imu_row(graph.imu, imu_slot, gi_imu, gj, st.dR, st.dp,
                             st.dv, st.H_R_bg, st.H_p_ba, st.H_p_bg,
                             st.H_v_ba, st.H_v_bg, st.bias_hat, st.dt,
                             gravity, st.cov, active=is_new)
@@ -275,7 +289,7 @@ def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
 def _fused_vio_step(graph, values, imu_params: ImuParams, acc, gyr, dts,
                     prev_R, prev_t, prev_vel, prev_bias,
                     meas_R, meas_t, sqrt_info_vo, robust_kind, robust_k,
-                    failed, gj, bt_slot, imu_slot, gravity,
+                    failed, gi, gj, bt_slot, imu_slot, gravity,
                     gate: bool = False, gate_thresh: float = 4e4):
     """One VIO frame as ONE device program (the online engine's fast
     path when no plane stack is active; see ``_vio_frame_kernel``).
@@ -288,7 +302,7 @@ def _fused_vio_step(graph, values, imu_params: ImuParams, acc, gyr, dts,
         graph, values, imu_params, acc, gyr, dts, prev_R, prev_t,
         prev_vel, prev_bias, meas_R, meas_t, sqrt_info_vo, robust_kind,
         robust_k, failed, jnp.asarray(True), jnp.asarray(True),
-        gj - 1, gj, bt_slot, imu_slot, gravity, gate,
+        gi, gj - 1, gj, bt_slot, imu_slot, gravity, gate,
         jnp.asarray(gate_thresh, prev_t.dtype))
     return graph, values, est_R, est_t, pred_vel
 
@@ -309,7 +323,7 @@ def _pad_window(acc, gyr, n, dt_nom, max_window):
     dt_p[:k] = dt_nom
     if k == 0:
         dt_p[0] = dt_nom
-    return jnp.asarray(acc_p), jnp.asarray(gyr_p), jnp.asarray(dt_p)
+    return acc_p, gyr_p, dt_p
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +360,7 @@ def _replay_scan(graph, values, xs, prev, imu_params, gravity, gate_thresh,
             graph, values, imu_params, x["acc"], x["gyr"], x["dts"],
             pR, pt_, pv, pb, x["meas_R"], x["meas_t"], x["sqrt_info"],
             robust_kind, robust_kval, x["failed"], x["is_new"],
-            x["edge_valid"], x["gi"], x["gj"], x["bt_slot"],
+            x["edge_valid"], x["gi"], x["gi_imu"], x["gj"], x["bt_slot"],
             x["imu_slot"], gravity, gate, gate_thresh)
         carry = (graph, values) + fb
 
@@ -456,17 +470,7 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
             i0, i1 = cur, max(nxt, cur)
             acc, gyr = imu.window(i0, i1)
             cur = nxt
-            a = np.zeros((Wimu, 3))
-            g = np.zeros((Wimu, 3))
-            d = np.zeros(Wimu)
-            n = min(i1 - i0, Wimu)
-            a[:n], g[:n], d[:n] = acc[:n], gyr[:n], imu.dt
-            if n == 0:
-                # empty measurement window (non-advancing image timestamp):
-                # a single zero-motion step keeps the preintegration
-                # covariance nonsingular so the ACTIVE row's whitening
-                # Cholesky stays finite
-                d[0] = imu.dt
+            a, g, d = _pad_window(acc, gyr, i1 - i0, imu.dt, Wimu)
             imu_slot = n_imu_rows
             n_imu_rows += 1
         else:
@@ -484,7 +488,8 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
                       and len(seq_ids) % cfg.optimize_step == 0)
         rows.append(dict(
             is_new=is_new, failed=failed, edge_valid=(not failed),
-            gi=gi, gj=gj, bt_slot=len(rows), imu_slot=imu_slot,
+            gi=gi, gi_imu=(gj - 1 if is_new else gi), gj=gj,
+            bt_slot=len(rows), imu_slot=imu_slot,
             last_gj=len(seq_ids) - 1, do_opt=do_opt,
             meas_R=R_all[k], meas_t=t_all[k],
             sqrt_info=S_all[k], acc=a, gyr=g, dts=d,
@@ -514,13 +519,15 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     og.add_prior_bias(0, np.zeros(6), _sqrt_info(6, sigma=1e-3))
 
     # fixed-lag window configuration (full-graph when cfg.window is None)
+    if cfg.window is not None and cfg.window <= 0:
+        raise ValueError("VioConfig.window must be positive or None")
     if cfg.window is None and n_frames > 2048:
         raise ValueError(
             f"engine='scan' on {n_frames} frames requires a fixed-lag "
             "window (set VioConfig.window): with window=None every "
             "scheduled optimization QR-solves the FULL arena dimension "
             "inside the compiled scan")
-    Wwin = cfg.window or P
+    Wwin = P if cfg.window is None else cfg.window
     table_caps = {name: jax.tree.leaves(getattr(og.graph, name))[0].shape[0]
                   for name in _TABLES}
     if cfg.window:
@@ -553,7 +560,9 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     xs_np = {
         "is_new": stack("is_new", bool), "failed": stack("failed", bool),
         "edge_valid": stack("edge_valid", bool),
-        "gi": stack("gi", np.int32), "gj": stack("gj", np.int32),
+        "gi": stack("gi", np.int32),
+        "gi_imu": stack("gi_imu", np.int32),
+        "gj": stack("gj", np.int32),
         "bt_slot": stack("bt_slot", np.int32),
         "imu_slot": stack("imu_slot", np.int32),
         "last_gj": stack("last_gj", np.int32),
@@ -563,6 +572,8 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
         "acc": stack("acc"), "gyr": stack("gyr"), "dts": stack("dts"),
         "opt_starts": stack("opt_starts"), "free_from": stack("free_from"),
     }
+    n_rec = len(rows)
+    del rows   # drop the per-record dicts (dominant transient: IMU windows)
 
     # chunk the scan: one compiled program per <= scan_chunk records (a
     # single monolithic scan is fastest, but device runtimes can fault on
@@ -571,12 +582,12 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     # chunk is padded with no-op records (inactive rows parked on reserved
     # dummy slots; carry untouched).
     CH = cfg.scan_chunk
-    n_rec = len(rows)
     if n_rec > CH:
         pad = (-n_rec) % CH
         if pad:
             noop = dict(
-                is_new=False, failed=True, edge_valid=False, gi=0, gj=0,
+                is_new=False, failed=True, edge_valid=False, gi=0,
+                gi_imu=0, gj=0,
                 bt_slot=dummy_bt, imu_slot=dummy_slot, last_gj=0,
                 do_opt=False, meas_R=np.eye(3), meas_t=np.zeros(3),
                 sqrt_info=np.eye(6),
@@ -899,7 +910,8 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
                         jnp.asarray(0 if robust_k is None else 1, jnp.int32),
                         jnp.asarray(1.0 if robust_k is None
                                     else float(robust_k), dt64),
-                        jnp.asarray(bool(failed)), jnp.asarray(gj),
+                        jnp.asarray(bool(failed)), jnp.asarray(gi),
+                        jnp.asarray(gj),
                         jnp.asarray(bt_slot), jnp.asarray(imu_slot),
                         jnp.asarray(gravity, dt64),
                         gate=cfg.chi2_vro_gate,
@@ -936,7 +948,13 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
 
             gj = len(seq_ids)
             if not failed:
-                est = se3.compose(prev_pose, T)
+                # initial estimate composes from the MATCHED node's pose
+                # (addToGTSAM, gtsam_graph.cpp:655-668); gi == gj-1 on
+                # sequential logs but differs when tracking recovers
+                # against an older keyframe
+                Ri, ti = b.pose(gi)
+                est = se3.compose(se3.Pose(jnp.asarray(Ri),
+                                           jnp.asarray(ti)), T)
             else:
                 est = pred_pose
             b.add_pose((np.asarray(est.R), np.asarray(est.t)))
@@ -949,7 +967,10 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
                 b.add_between(gi, gj, (np.asarray(T.R), np.asarray(T.t)),
                               information=info_b, robust=robust_k)
                 n_vo += 1
-            b.add_imu_factor(gi, gj, st, gravity)
+            # the CombinedImuFactor always connects CONSECUTIVE frames
+            # (test_vro_imu_graph.cpp:191-196): the preintegration window
+            # spans from the previous frame, whatever the VO edge matched
+            b.add_imu_factor(gj - 1, gj, st, gravity)
             n_imu += 1
 
             want_planes = (cfg.plane_mode == "always"

@@ -177,6 +177,52 @@ def test_scan_empty_imu_window_stays_finite():
         assert np.isfinite(np.asarray(res.values.pose_t[:8])).all(), eng
 
 
+def test_nonadjacent_recovery_edge_semantics():
+    """A new frame tracked against an OLDER keyframe (id_from several
+    frames back): the VO between-factor must connect the matched pair and
+    the initial estimate compose from the matched node's pose
+    (gtsam_graph.cpp:655-668), while the IMU factor always connects
+    consecutive frames (test_vro_imu_graph.cpp:191-196) — on both engines.
+    """
+    log, times, stream, params, X = synth_sequence(n_frames=12,
+                                                   loop_pairs=(),
+                                                   fail_at=())
+    # rewrite the 8->9 odometry edge as a 5->9 recovery edge with the
+    # ground-truth relative transform
+    idx = 8  # row creating frame 9
+    assert int(log.id_to[idx]) == 9
+    id_from = np.array(log.id_from)
+    id_from[idx] = 5
+    xi = np.array(log.xi)
+    xi[idx] = np.asarray(se3.logmap(se3.between(X[5], X[9])))
+    log = VROLog(log.id_to, id_from, xi, log.info)
+    kw = dict(plane_mode="off", optimize_step=100, max_imu_window=32,
+              bucket=64, final_batch=False)
+    results = {}
+    for eng in ("scan", "online"):
+        res = run_vio(log, dict(times), stream, params,
+                      cfg=VioConfig(engine=eng, **kw))
+        g = res.graph
+        active = np.asarray(g.between.active)
+        i_arr = np.asarray(g.between.i)[active]
+        j_arr = np.asarray(g.between.j)[active]
+        # the recovery edge connects (5, 9), not (8, 9)
+        assert ((i_arr == 5) & (j_arr == 9)).any(), (eng, i_arr, j_arr)
+        assert not ((i_arr == 8) & (j_arr == 9)).any(), eng
+        # the IMU chain stays consecutive
+        imu_act = np.asarray(g.imu.active)
+        ii = np.asarray(g.imu.i)[imu_act]
+        jj = np.asarray(g.imu.j)[imu_act]
+        np.testing.assert_array_equal(jj - ii, 1)
+        results[eng] = np.asarray(res.values.pose_t[:12])
+    np.testing.assert_allclose(results["scan"], results["online"],
+                               atol=1e-8)
+    # estimates stay near ground truth (the estimate composed from the
+    # matched node, so frame 9 is consistent)
+    gt = np.stack([np.asarray(x.t) for x in X])
+    assert np.linalg.norm(results["scan"] - gt, axis=1).max() < 0.05
+
+
 def test_scan_rejects_plane_modes():
     log, times, stream, params, _ = synth_sequence(n_frames=6,
                                                    loop_pairs=())
