@@ -180,13 +180,31 @@ def sharded_gn_pcg_step(mesh: Mesh, pcg_iters: int = 100):
 def sharded_gn(mesh: Mesh, graph: FactorGraph, values: VariableArena,
                iterations: int = 8, damping: float = 0.0,
                solver: str = "pcg", pcg_iters: int = 100):
-    """Run ``iterations`` sharded GN steps; returns (values, final_error)."""
+    """Run ``iterations`` sharded GN steps; returns (values, final_error).
+
+    The PCG path fuses ALL iterations into one device program (a
+    ``lax.scan`` inside the ``shard_map``): on remote-attached devices
+    each dispatch costs ~180 ms regardless of content, so a 20-iteration
+    optimize is one dispatch instead of twenty.
+    """
     graph = pad_graph_for_mesh(graph, len(mesh.devices.flat))
+    damping = jnp.asarray(damping, values.pose_t.dtype)
     if solver == "pcg":
-        step = sharded_gn_pcg_step(mesh, pcg_iters)
+        def local(graph, values, damping):
+            def body(vals, _):
+                return _gn_pcg_local(graph, vals, damping,
+                                     pcg_iters=pcg_iters), None
+
+            values, _ = jax.lax.scan(body, values, None,
+                                     length=iterations)
+            return values
+
+        fn = jax.jit(shard_map(local, mesh=mesh,
+                               in_specs=(P(AXIS), P(), P()),
+                               out_specs=P()))
+        values = fn(graph, values, damping)
     else:
         step = sharded_gn_step(mesh)
-    damping = jnp.asarray(damping, values.pose_t.dtype)
-    for _ in range(iterations):
-        values = step(graph, values, damping)
+        for _ in range(iterations):
+            values = step(graph, values, damping)
     return values, total_error(graph, values)
