@@ -109,13 +109,19 @@ def _structural_flops_per_gn_iter(graph, pcg_iters):
 
 
 def bench_ba_schur():
-    """10k-landmark BA stress config, ms per GN iteration.
+    """10k-landmark BA stress config, ms per GN iteration + MFU.
 
     The Schur landmark elimination cancels catastrophically in pure f32
     (ba_solve.py precision note), so the f64 reduction is only available
     with x64 (CPU parity runs). On f32-only accelerators the TPU-native BA
     solve is the matrix-free block-Jacobi PCG — that's what this benchmarks
     on TPU; on x64-capable hosts it also reports the Schur variant.
+
+    Also reports a structural FLOP estimate + MFU for the PCG iteration,
+    and a mixed-precision (bf16-multiplicand matmul) variant with its chi2
+    delta — NOTE the bf16 run executes after the f32 one, so its relay
+    timing carries the ~4x same-process degradation; its honest signal is
+    the chi2 delta, not the ms.
     """
     from collections import namedtuple
 
@@ -146,6 +152,28 @@ def bench_ba_schur():
     out["value"] = round(dt / (2 * iters) * 1e3, 3)
     out["solver"] = "block-jacobi PCG-25 (f32, matrix-free)"
     out["chi2_pcg"] = ef
+
+    # structural FLOPs of one BA GN iteration: F projection rows, e=2
+    # residual dims, td=9 tangent cols (6 pose + 3 point); J^T J outer
+    # products + 25 CG matvecs + linearization (projection jacfwd ~3k)
+    import numpy as np
+
+    F = int(np.asarray(graph.projection.active).sum())
+    e_, td = 2, 9
+    flops_iter = (2 * F * e_ * td * td + 25 * (2 * F * td * td)
+                  + 3000 * F)
+    out["flops_per_iter_est"] = flops_iter
+    out["mfu_pct"] = round(
+        100.0 * flops_iter / (out["value"] * 1e-3) / PEAK_F32_FLOPS, 5)
+
+    # mixed precision: bf16 multiplicands / f32 accumulation on the MXU
+    with jax.default_matmul_precision("default"):
+        dt_bf, res_bf = _chained_time(call_pcg, values, n_calls=2)
+    ef_bf = float(res_bf.error)
+    out["bf16_ms_per_iter_degraded_relay"] = round(dt_bf / (2 * iters)
+                                                   * 1e3, 3)
+    out["bf16_chi2"] = ef_bf
+    out["bf16_chi2_rel_delta"] = round(abs(ef_bf - ef) / max(ef, 1e-12), 6)
 
     if jax.config.read("jax_enable_x64"):
         def call_schur(v):
@@ -262,6 +290,71 @@ def bench_vio_replay(n_frames: int = 500):
             "chi2": res.error}
 
 
+def bench_vio_planes(n_frames: int = 200, fail_every: int = 20):
+    """Flagship PLANE-RESCUE VIO throughput (the fused scan engine).
+
+    The workload is the reference's defining capability: an IMU+VO replay
+    where tracking fails periodically and the failed frames are rescued by
+    the plane stack from rendered SR4000 frames
+    (test_vro_imu_graph.cpp:205-300). The fused engine runs the records
+    between failures as compiled scan chunks and each failure as ONE host
+    step (fused VO/IMU kernel + one batched propagate_planes dispatch).
+    The host-stepped online engine — which runs the whole per-frame plane
+    path the round-2 code was limited to — is measured on a prefix of the
+    same workload for the speedup ratio.
+    """
+    from graph_slam_tpu.datasets import make_vio_plane_scenario
+    from graph_slam_tpu.imu import ImuStream
+    from graph_slam_tpu.io.vro_log import VROLog
+    from graph_slam_tpu.pipelines.vio import VioConfig, run_vio
+
+    log, times, stream, params, frames, K = make_vio_plane_scenario(
+        n_frames=n_frames, fail_every=fail_every)
+
+    def clone():
+        return ImuStream(t=stream.t, acc=stream.acc, gyr=stream.gyr,
+                         dt=stream.dt)
+
+    kw = dict(plane_mode="rescue", optimize_step=10, max_imu_window=64,
+              bucket=64, window=16, final_batch=False)
+    cfg = VioConfig(engine="scan", **kw)
+    t0 = time.perf_counter()
+    res = run_vio(log, times, clone(), params, frames=frames.get,
+                  intrinsics=K, cfg=cfg)
+    cold = time.perf_counter() - t0
+    n_rescue = sum(1 for k in range(len(log))
+                   if log.info[k][0, 0] == 1e4)
+    t0 = time.perf_counter()
+    res = run_vio(log, times, clone(), params, frames=frames.get,
+                  intrinsics=K, cfg=cfg)
+    warm = time.perf_counter() - t0
+    assert res.n_plane_factors > 0, "rescue did not fire"
+
+    # host-stepped comparison: the per-frame online engine on a prefix
+    n_sub = min(40, n_frames)
+    sub = VROLog(log.id_to[:n_sub - 1], log.id_from[:n_sub - 1],
+                 log.xi[:n_sub - 1], log.info[:n_sub - 1])
+    cfg_on = VioConfig(engine="online", **kw)
+    run_vio(sub, times, clone(), params, frames=frames.get,
+            intrinsics=K, cfg=cfg_on)       # warm the compiles
+    t0 = time.perf_counter()
+    res_on = run_vio(sub, times, clone(), params, frames=frames.get,
+                     intrinsics=K, cfg=cfg_on)
+    online_fps = n_sub / (time.perf_counter() - t0)
+
+    fps = n_frames / warm
+    return {"metric": "plane-rescue VIO frames/sec (fused scan engine: "
+                      "scan segments between host-known failures + "
+                      "batched plane stack per rescue)",
+            "value": round(fps, 2), "unit": "frames/sec",
+            "cold_frames_per_sec": round(n_frames / cold, 2),
+            "n_rescue_frames": int(n_rescue),
+            "n_plane_factors": int(res.n_plane_factors),
+            "chi2": res.error,
+            "host_stepped_online_fps": round(online_fps, 2),
+            "speedup_vs_host_stepped": round(fps / online_fps, 1)}
+
+
 def bench_gather_pcg():
     """Headline config with the incidence-gather PCG (scatter-free) path."""
     from graph_slam_tpu.graph import gn_optimize, total_error
@@ -296,13 +389,16 @@ def bench_amortized():
         return gn_optimize(graph, v, iterations=iters, solver="pcg",
                            damping=1e-3, pcg_iters=PCG_ITERS)
 
-    dt, res = _chained_time(call, values)
+    # ONE timed call (r2 shipped this secondary as a 900 s timeout: the
+    # warmup + 2 chained calls + convergence check did not fit the relay
+    # budget; one call after warmup bounds the device floor just as well)
+    dt, res = _chained_time(call, values, n_calls=1)
     e0 = float(total_error(graph, values))
     assert float(res.error) < 0.1 * e0
     return {"metric": "GN iters/sec at 800 iters/call (device-time floor)",
-            "value": round(N_CALLS * iters / dt, 1),
+            "value": round(iters / dt, 1),
             "unit": "GN iters/sec",
-            "ms_per_iter": round(dt / (N_CALLS * iters) * 1e3, 4)}
+            "ms_per_iter": round(dt / iters * 1e3, 4)}
 
 
 def bench_dispatch():
@@ -348,9 +444,9 @@ def bench_banded():
 SECONDARY = {
     "ba_schur": bench_ba_schur,
     "vio_replay": bench_vio_replay,
+    "vio_planes": bench_vio_planes,
     # the reference's full frame budget (gtsam_imuVN100_go.launch:13) as
-    # one device program — not in the default set for time-budget reasons;
-    # run via `python bench.py --single vio_27k`
+    # chunked scan dispatches sharing one compilation
     "vio_27k": lambda: bench_vio_replay(n_frames=27000),
     "gather_pcg": bench_gather_pcg,
     "banded": bench_banded,
@@ -360,6 +456,8 @@ SECONDARY = {
 
 
 def _run_secondary(name: str, timeout: float = 1200):
+    if timeout < 60:
+        return {"skipped": "bench time budget"}
     env = dict(os.environ)
     here = os.path.dirname(os.path.abspath(__file__))
     env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
@@ -425,12 +523,20 @@ def main():
     #       the timed sections everywhere in this file.
     #   pcg_iters slope (2/10/30 at 50/call): ~0.16 ms per CG iteration.
     # so the fused scatter-add PCG stays the default solver.
+    # per-secondary subprocess timeouts are CLAMPED to the remaining
+    # budget (r2 shipped `amortized` as a 900 s timeout error because each
+    # secondary got a fresh 900 s regardless of elapsed time); priority
+    # order puts the flagship plane-rescue number and the 27k-frame run
+    # before the floor probes
     t_budget = time.perf_counter()
-    for name in ("ba_schur", "vio_replay", "amortized"):
-        if time.perf_counter() - t_budget > 1500:
+    total_budget = 1800.0
+    for name in ("vio_planes", "ba_schur", "vio_replay", "vio_27k",
+                 "amortized"):
+        remaining = total_budget - (time.perf_counter() - t_budget)
+        if remaining < 60:
             extra[name] = {"skipped": "bench time budget"}
             continue
-        extra[name] = _run_secondary(name, timeout=900)
+        extra[name] = _run_secondary(name, timeout=min(900, remaining))
     extra["solver_comparison_notes"] = (
         "scatter-PCG default; gather 26.5 it/s, banded 45.6 it/s at the "
         "old 50-iters/call convention; ~180 ms/call relay overhead, "

@@ -65,9 +65,13 @@ def cmd_posegraph(args):
     from .pipelines import run_pose_graph, trajectory_arrays
 
     params = _load_params(args)
+    preset = _load_config_dict(args)
     log = read_vro_log(args.vro)
     u2c = extrinsics.camera_to_imu(args.pitch) if args.imu_frame else None
-    res = run_pose_graph(log, params, u2c=u2c)
+    # the preset's reserved "backend" key selects the fake-odometry
+    # weighting (gtsam I*1e4 vs g2o I*1e-3, g2o_graph.cpp:151)
+    backend = args.backend or preset.get("backend", "gtsam")
+    res = run_pose_graph(log, params, u2c=u2c, backend=backend)
     print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
           f"({res.iterations} LM iterations, {len(res.seq_ids)} nodes)")
     os.makedirs(args.out_dir, exist_ok=True)
@@ -117,20 +121,38 @@ def cmd_vio(args):
             if len(tok) >= 2:
                 times[int(tok[0])] = float(tok[1])
     extrinsic = args.extrinsic or preset.get("extrinsic", "sr4000")
-    u2c = None if extrinsic == "identity" \
-        else extrinsics.camera_to_imu(args.pitch)
-    vio_kw = dict(preset.get("vio", {}))
+    if extrinsic == "identity":
+        u2c = None
+    elif extrinsic == "rs435-translation":
+        # translation-only camera-IMU extrinsic of the RealSense driver
+        # (setCamera2IMUTranslation(-0.01, 0, 0.025),
+        # main_rgbdslam_imu_offline.cpp:105)
+        u2c = extrinsics.camera_to_imu_translation(-0.01, 0.0, 0.025)
+    else:
+        u2c = extrinsics.camera_to_imu(args.pitch)
+    # one flat kwargs dict: explicit defaults first, then the preset's
+    # "vio" section, then CLI flags — a preset that sets optimize_step /
+    # robust / trace_dir in its vio section must override, not TypeError
+    vio_kw = dict(optimize_step=params.optimize_step,
+                  robust=params.robust, robust_k=params.robust_k)
+    vio_kw.update(preset.get("vio", {}))
+    if args.trace_dir:
+        vio_kw["trace_dir"] = args.trace_dir
     if args.plane_mode:
         vio_kw["plane_mode"] = args.plane_mode
     # CLI default: "off" (the reference launch default plane_aided=false),
     # EXCEPT when the user supplies frames — the flag's whole purpose is
     # the frames-driven plane rescue, so it must not be silently inert
-    vio_kw.setdefault("plane_mode", "rescue" if args.frames else "off")
+    if vio_kw.setdefault("plane_mode",
+                         "rescue" if args.frames else "off") == "rescue" \
+            and args.frames and not args.plane_mode:
+        print("note: --frames given, plane-mode defaults to 'rescue' "
+              "(pass --plane-mode off to disable)")
     if args.engine:
         vio_kw["engine"] = args.engine
-    cfg = VioConfig(optimize_step=params.optimize_step,
-                    robust=params.robust, robust_k=params.robust_k,
-                    trace_dir=args.trace_dir, **vio_kw)
+    if args.gravity_init:
+        vio_kw["gravity_init"] = True
+    cfg = VioConfig(**vio_kw)
     frames = intr = None
     if args.frames:
         from .io import open_frame_source
@@ -175,6 +197,82 @@ def cmd_merge(args):
                     thresh=args.thresh)
     write_vro_log(args.out, out)
     print(f"wrote {args.out}")
+
+
+def cmd_delete_vo(args):
+    """delete_vo_by_plane_check.cpp driver: void VO edges whose
+    plane-consistency Mahalanobis score exceeds the threshold."""
+    import jax
+
+    from .io import open_frame_source, read_vro_log, write_vro_log
+    from .pipelines import check_vo_edges
+    from .planes import extract_plane_node
+    from .tools import delete_vo_by_plane_check
+
+    if not args.scores and not args.frames:
+        raise SystemExit("delete-vo: need --scores or --frames")
+    log = read_vro_log(args.vro)
+    if args.scores:
+        # pre-computed 'id2 id1 num err err_raw' rows (plane-check --out)
+        rows = np.loadtxt(args.scores)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        by_edge = {(int(r[0]), int(r[1])): float(r[3]) for r in rows}
+        scores = np.asarray([
+            by_edge.get((int(t), int(f)), 0.0)
+            for t, f in zip(log.id_to, log.id_from)])
+    else:
+        store = open_frame_source(args.frames)
+        K = _camera(args)
+        cache = {}
+        keyring = [jax.random.PRNGKey(0)]
+
+        def planes_of(seq):
+            if seq not in cache:
+                fr = store(seq)
+                if fr is None:
+                    cache[seq] = ([], [])
+                else:
+                    keyring[0], k = jax.random.split(keyring[0])
+                    det = extract_plane_node(k, K, fr[0], fr[1],
+                                             max_planes=args.max_planes)
+                    cache[seq] = ([], []) if det is None else \
+                        (list(det.params), list(det.cov))
+            return cache[seq]
+
+        rows = check_vo_edges(log, planes_of)
+        scores = np.asarray([r[3] for r in rows])
+    out = delete_vo_by_plane_check(log, scores, args.thresh)
+    write_vro_log(args.out, out)
+    n_void = int((~out.valid & log.valid).sum())
+    print(f"wrote {args.out} ({n_void} edges voided of {len(out)})")
+
+
+def cmd_add_vo_sparse(args):
+    """add_vo_at_sparse_area.cpp driver: append matcher-validated extra
+    edges around feature-sparse frames."""
+    from .io import open_frame_source, read_vro_log, write_vro_log
+    from .tools import add_vo_at_sparse_area, make_frame_matcher
+    from .vision.frontend import make_feature_cache
+
+    log = read_vro_log(args.vro)
+    store = open_frame_source(args.frames)
+    K = _camera(args)
+    seqs = sorted(set(int(x) for x in log.id_from)
+                  | set(int(x) for x in log.id_to))
+    feat = make_feature_cache(store, K, max_features=args.max_features)
+    counts = {}
+    for s in seqs:
+        f = feat(s)
+        counts[s] = 0 if f is None else int(np.asarray(f.valid).sum())
+    matcher = make_frame_matcher(store, K,
+                                 max_features=args.max_features)
+    out = add_vo_at_sparse_area(log, counts, matcher, window=args.window,
+                                sparse_thresh=args.sparse_thresh)
+    write_vro_log(args.out, out)
+    print(f"wrote {args.out} ({len(out) - len(log)} edges added, "
+          f"{sum(1 for s in seqs if counts[s] < args.sparse_thresh)} "
+          f"sparse frames)")
 
 
 def cmd_diff(args):
@@ -404,6 +502,9 @@ def main(argv=None):
     s.add_argument("--pitch", type=float, default=0.0)
     s.add_argument("--imu-frame", action="store_true",
                    help="conjugate edges into the IMU frame (T_u2c)")
+    s.add_argument("--backend", choices=["gtsam", "g2o"], default=None,
+                   help="fake-odometry weighting: gtsam I*1e4 or g2o "
+                        "I*1e-3 (default gtsam, or the preset's)")
     s.add_argument("--gt", help="ground-truth trajectory log for ATE/RPE")
     s.set_defaults(fn=cmd_posegraph)
 
@@ -416,10 +517,12 @@ def main(argv=None):
                    help="file of 'seq_id timestamp' lines")
     s.add_argument("--plane-mode", choices=["rescue", "always", "off"],
                    default=None,
-                   help="plane factor policy (default off, or the config's)")
+                   help="plane factor policy (default off — or 'rescue' "
+                        "when --frames is given, or the config's)")
     s.add_argument("--frames",
                    help="frame directory (.gsf or PNG pairs) enabling the "
-                        "frames-driven plane rescue")
+                        "frames-driven plane rescue (flips the default "
+                        "--plane-mode to 'rescue')")
     s.add_argument("--camera", choices=["sr4000", "rs435"], default=None)
     s.add_argument("--engine", choices=["online", "scan", "rebuild"],
                    default=None,
@@ -432,11 +535,18 @@ def main(argv=None):
     s.add_argument("--pitch", type=float, default=0.0)
     s.add_argument("--gt", help="ground-truth trajectory log for ATE/RPE")
     s.add_argument("--trace-dir", help="jax.profiler trace output directory")
-    s.add_argument("--extrinsic", choices=["sr4000", "identity"],
+    s.add_argument("--extrinsic",
+                   choices=["sr4000", "identity", "rs435-translation"],
                    default=None,
                    help="camera-IMU extrinsic: the SR4000 RzRyRx "
-                        "composition (setCamera2IMU) or identity "
+                        "composition (setCamera2IMU), identity, or the "
+                        "RealSense translation-only variant "
+                        "(setCamera2IMUTranslation) "
                         "(default sr4000, or the config's)")
+    s.add_argument("--gravity-init", action="store_true",
+                   help="align the first pose to measured gravity and seed "
+                        "the bias from the pre-sync static IMU window "
+                        "(initFromImu + static bias estimation)")
     s.set_defaults(fn=cmd_vio)
 
     s = sub.add_parser("convert", help="rewrite a VRO log (ba/hybrid/cut)")
@@ -454,6 +564,32 @@ def main(argv=None):
     s.add_argument("--thresh", type=int, default=20)
     s.add_argument("--out", default="vo_results_merge.log")
     s.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("delete-vo",
+                       help="void VO edges failing plane consistency")
+    s.add_argument("--vro", required=True)
+    s.add_argument("--scores",
+                   help="pre-computed plane-check rows ('id2 id1 num err "
+                        "err_raw', from plane-check --out); otherwise "
+                        "scored from --frames")
+    s.add_argument("--frames", help="frame directory (when no --scores)")
+    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--max-planes", type=int, default=4)
+    s.add_argument("--thresh", type=float, default=100.0,
+                   help="Mahalanobis score above which an edge is voided")
+    s.add_argument("--out", default="vo_results_deleted.log")
+    s.set_defaults(fn=cmd_delete_vo)
+
+    s = sub.add_parser("add-vo-sparse",
+                       help="add VO edges around feature-sparse frames")
+    s.add_argument("--vro", required=True)
+    s.add_argument("--frames", required=True)
+    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--window", type=int, default=5)
+    s.add_argument("--sparse-thresh", type=int, default=60)
+    s.add_argument("--max-features", type=int, default=256)
+    s.add_argument("--out", default="vo_results_added.log")
+    s.set_defaults(fn=cmd_add_vo_sparse)
 
     s = sub.add_parser("diff", help="difference of two VO logs")
     s.add_argument("--log1", required=True)

@@ -165,3 +165,140 @@ def make_ba_graph(n_poses: int = 100, n_points: int = 10000,
 
     graph, values = b.build(bucket=bucket)
     return graph, values, ((Rs, ts), pts)
+
+
+# ---------------------------------------------------------------------------
+# plane-aided VIO scenario (the flagship benchmark workload)
+
+
+def _render_plane_frame(K, R_cam, t_cam, scene, noise=0.0, seed=0):
+    """Ray-cast depth+intensity of a set of world planes from a camera pose.
+
+    ``scene`` is [(plane4_world, intensity_value), ...] with plane form
+    ``n . x + d = 0``; the camera pose is world-from-camera (R, t).
+    """
+    r = np.random.default_rng(seed)
+    h, w = K.height, K.width
+    us, vs = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    rays = np.stack([(us - K.cx) / K.fx, (vs - K.cy) / K.fy,
+                     np.ones_like(us)], axis=-1)          # (H, W, 3)
+    depth = np.full((h, w), np.inf)
+    inten = np.zeros((h, w), np.float32)
+    for plane_w, value in scene:
+        n, d = np.asarray(plane_w[:3]), float(plane_w[3])
+        # plane in the camera frame: n_c = R^T n, d_c = d + n . t
+        n_c = R_cam.T @ n
+        d_c = d + n @ t_cam
+        denom = rays @ n_c
+        safe = np.where(np.abs(denom) > 1e-9, denom, 1.0)
+        z = np.where(np.abs(denom) > 1e-9, -d_c / safe, np.inf)
+        hit = (z > 0.2) & (z < depth)
+        depth = np.where(hit, z, depth)
+        inten = np.where(hit, value, inten)
+    depth = np.where(np.isfinite(depth), depth, 0.0)
+    if noise:
+        depth = depth + r.normal(size=depth.shape) * noise * (depth > 0)
+    return inten.astype(np.float32), depth.astype(np.float32)
+
+
+def make_vio_plane_scenario(n_frames: int = 200, per: int = 20,
+                            fail_every: int = 20, seed: int = 0,
+                            motion: float = 0.08, noise: float = 0.002,
+                            render: bool = True):
+    """Plane-aided VIO benchmark workload: IMU stream + VRO log with
+    periodic tracking failures + rendered SR4000 frames of a two-plane
+    room (wall z=4, floor y=0.8 — the rescue propagates/extracts these).
+
+    The ground-truth chain integrates the synthetic IMU windows in ONE
+    jitted scan (per-frame eager preintegration would cost a dispatch per
+    frame on remote-attached backends); the VO log carries exact relative
+    poses except the failed records (info sentinel 1e4, the reference's
+    encoding, gtsam_graph.cpp:1600).
+
+    Returns ``(log, times, stream, imu_params, frames, K)`` where
+    ``frames`` is a ``seq -> (intensity, depth)`` dict (None when
+    ``render=False``).
+    """
+    import jax
+
+    from ..config import SR4000
+    from ..core import se3
+    from ..imu import (ImuStream, init_preint, integrate_segment,
+                       predict_navstate, vn100_params)
+    from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
+
+    K = SR4000
+    params = vn100_params()
+    dt = 1.0 / 200.0
+    n_meas = n_frames * per + 10
+    r = np.random.default_rng(seed)
+    acc = (r.normal(size=(n_meas, 3)) * motion
+           - np.asarray(params.gravity))
+    gyr = r.normal(size=(n_meas, 3)) * motion
+    for k in range(1, n_meas):
+        acc[k] = 0.9 * acc[k - 1] + 0.1 * acc[k]
+        gyr[k] = 0.9 * gyr[k - 1] + 0.1 * gyr[k]
+    stream = ImuStream(t=np.arange(n_meas) * dt, acc=acc, gyr=gyr, dt=dt)
+
+    @jax.jit
+    def chain(acc_w, gyr_w):
+        def step(carry, x):
+            R, t, v = carry
+            st = integrate_segment(init_preint(jnp.zeros(6), params),
+                                   x[0], x[1], jnp.full(per, dt), params)
+            Xj, vj = predict_navstate(st, se3.Pose(R, t), v,
+                                      jnp.zeros(6), params.gravity)
+            return (Xj.R, Xj.t, vj), (Xj.R, Xj.t)
+        _, (Rs, ts) = jax.lax.scan(
+            step, (jnp.eye(3), jnp.zeros(3), jnp.zeros(3)), (acc_w, gyr_w))
+        return Rs, ts
+
+    acc_w = jnp.asarray(acc[:(n_frames - 1) * per]
+                        .reshape(n_frames - 1, per, 3))
+    gyr_w = jnp.asarray(gyr[:(n_frames - 1) * per]
+                        .reshape(n_frames - 1, per, 3))
+    Rs_j, ts_j = chain(acc_w, gyr_w)
+    Rs = np.concatenate([np.eye(3)[None], np.asarray(Rs_j)])
+    ts = np.concatenate([np.zeros(3)[None], np.asarray(ts_j)])
+
+    scene = [(np.array([0.0, 0.0, 1.0, -4.0]), 150.0),
+             (np.array([0.0, 1.0, 0.0, -0.8]), 80.0)]
+    frames = None
+    if render:
+        frames = {f: _render_plane_frame(K, Rs[f], ts[f], scene,
+                                         noise=noise, seed=seed + f)
+                  for f in range(n_frames)}
+
+    info = np.diag([8e3] * 3 + [2500.0] * 3)
+    id_to, id_from, xis, infos = [], [], [], []
+    for f in range(1, n_frames):
+        id_from.append(f - 1)
+        id_to.append(f)
+        if fail_every and f % fail_every == 0:
+            xis.append(np.zeros(6))
+            infos.append(np.eye(6) * FAILED_INFO_SENTINEL)
+        else:
+            xis.append(None)   # batch-filled below in one device call
+            infos.append(info)
+    # relative-pose logs via the library's se3 (batched, one dispatch)
+    valid = [k for k in range(len(id_to)) if xis[k] is None]
+    if valid:
+        from ..core import se3 as _se3
+
+        @jax.jit
+        def rel_logs(Ra, ta, Rb, tb):
+            return jax.vmap(lambda RA, tA, RB, tB: _se3.logmap(
+                _se3.between(_se3.Pose(RA, tA), _se3.Pose(RB, tB))))(
+                Ra, ta, Rb, tb)
+
+        ia = np.asarray([id_from[k] for k in valid])
+        ib = np.asarray([id_to[k] for k in valid])
+        lv = np.asarray(rel_logs(jnp.asarray(Rs[ia]), jnp.asarray(ts[ia]),
+                                 jnp.asarray(Rs[ib]), jnp.asarray(ts[ib])))
+        for q, k in enumerate(valid):
+            xis[k] = lv[q]
+    log = VROLog(np.asarray(id_to), np.asarray(id_from), np.stack(xis),
+                 np.stack(infos))
+    times = {f: f * per * dt for f in range(n_frames)}
+    return log, times, stream, params, frames, K

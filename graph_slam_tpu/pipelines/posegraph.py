@@ -59,16 +59,23 @@ def _conjugate_edge(xi, info, u2c: Optional[se3.Pose]):
 
 def build_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
                      u2c: Optional[se3.Pose] = None, only_vo: bool = True,
-                     bucket: int = 256):
+                     bucket: int = 256, backend: str = "gtsam"):
     """VRO log -> (FactorGraph, VariableArena, seq_ids).
 
     Nodes are created in file order (the replay order of the reference
     mains); edges between existing nodes are loop closures.
+
+    ``backend`` selects the fake-odometry identity-edge weighting: the
+    gtsam driver uses info ``I*1e4`` (fakeOdoNode, gtsam_graph.cpp:697-722),
+    the g2o driver ``I*1e-3`` (g2o_graph.cpp:151).
     """
     b = GraphBuilder()
     seq2graph: dict[int, int] = {}
     seq_ids: list[int] = []
     robust_k = params.robust_k if params.robust == "huber" else None
+    if backend not in ("gtsam", "g2o"):
+        raise ValueError(f"unknown backend {backend!r}")
+    fake_odo_w = FAILED_INFO_SENTINEL if backend == "gtsam" else 1e-3
 
     def ensure_first(seq):
         if not seq2graph:
@@ -90,10 +97,17 @@ def build_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
         gi = seq2graph[id_from]
         if failed:
             # fakeOdoNode semantics (gtsam_graph.cpp:697-722): identity
-            # transform, information I*1e4 — regardless of what the failed
-            # record row carries beyond the info(0,0) sentinel
+            # transform, information I*1e4 (gtsam) / I*1e-3 (g2o,
+            # g2o_graph.cpp:151) — regardless of what the failed record row
+            # carries beyond the info(0,0) sentinel. fakeOdoNode routes
+            # through addToGTSAM, which conjugates the information by the
+            # adjoint UNCONDITIONALLY (gtsam_graph.cpp:672-692), so the
+            # u2c-frame weighting applies to fake edges too.
             T = se3.Pose(jnp.eye(3), jnp.zeros(3))
-            info_b = np.eye(6) * FAILED_INFO_SENTINEL
+            info_b = np.eye(6) * fake_odo_w
+            if u2c is not None:
+                Ad = np.asarray(se3.adjoint(u2c))
+                info_b = Ad @ info_b @ Ad.T
         else:
             T, info_b = _conjugate_edge(log.xi[k], info, u2c)
 
@@ -123,8 +137,10 @@ def build_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
 def run_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
                    u2c: Optional[se3.Pose] = None,
                    lm_params: LMParams = LMParams(),
-                   bucket: int = 256) -> PoseGraphResult:
-    graph, values, seq_ids = build_pose_graph(log, params, u2c, bucket=bucket)
+                   bucket: int = 256,
+                   backend: str = "gtsam") -> PoseGraphResult:
+    graph, values, seq_ids = build_pose_graph(log, params, u2c, bucket=bucket,
+                                              backend=backend)
     e0 = float(total_error(graph, values))
     if params.optimizer == "gn":
         res = gn_optimize(graph, values, iterations=params.optimize_step)

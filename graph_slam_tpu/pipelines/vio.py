@@ -105,6 +105,15 @@ class VioConfig:
     max_planes: int = 4
     min_plane_support: int = 300
     seed: int = 0
+    # startup gravity/bias initialization (initFromImu,
+    # gtsam_graph.cpp:281-318, called at main_rgbdslam_imu_offline.cpp:137-140
+    # + static bias estimation imu_base.cpp:217-249): align the first pose's
+    # rotation to the measured gravity direction and seed the bias from the
+    # pre-sync static window, instead of identity pose / zero bias
+    gravity_init: bool = False
+    # static-window length for gravity/bias init; 0 = all pre-sync samples
+    # (falling back to the first 200 when the log starts at the sync point)
+    static_init_samples: int = 0
     # observability (SURVEY §5): jax.profiler trace dir + chi2-per-update log
     trace_dir: Optional[str] = None
 
@@ -169,6 +178,12 @@ class _OnlineVioGraph:
 
     def add_plane(self, p) -> int:
         lid = self.og.num_planes
+        cap = self.og.values.plane.shape[0]
+        if lid >= cap:
+            # bucket-crossing growth (the OnlineSlam._ensure_capacity
+            # pattern): a long plane-heavy run re-homes the arena instead
+            # of dying on the set_plane capacity guard
+            self.og.grow(plane_var_cap=max(8, 2 * cap))
         self.og.set_plane(lid, p)
         self._planes.append(np.asarray(p))
         return lid
@@ -202,8 +217,156 @@ class _OnlineVioGraph:
         self.og.add_imu_factor(i, j, preint, gravity)
 
     def add_plane_factor(self, pose_idx, plane_idx, meas, **noise):
+        cap = self.og.graph.plane.pose_idx.shape[0]
+        if self.og._n["plane"] >= cap:
+            self.og.grow(factor_caps={"plane": max(64, 2 * cap)})
         self.og.add_plane_factor(pose_idx, plane_idx, meas,
                                  _sqrt_info(3, **noise))
+
+
+class _PlaneStack:
+    """Host-side plane bookkeeping shared by the online and scan engines.
+
+    Bundles the driver-side plane state machine of test_vro_imu_graph.cpp
+    (firstPlaneNode :135-146, the rescue block :205-300, addPlaneFactor /
+    planeNodeAssociation split :256-283) over any writer exposing the
+    ``add_plane`` / ``add_plane_factor`` / ``_planes`` surface
+    (GraphBuilder, _OnlineVioGraph, or the scan engine's arena writer).
+    """
+
+    def __init__(self, writer, cfg: VioConfig, params: SlamParams,
+                 intrinsics, u2c, frames, provider):
+        self.b = writer
+        self.cfg = cfg
+        self.K = intrinsics
+        self.u2c = u2c                     # None = identity (skip conj)
+        self.u2c_j = u2c if u2c is not None else se3.identity()
+        self.frames = frames
+        self.provider = provider
+        self.book = PlaneLandmarkBook(lookback=params.lookback_nodes)
+        self.plane_nodes: dict[int, object] = {}  # gid -> detection | None
+        self.n_plane = 0
+        self._rng = jax.random.PRNGKey(cfg.seed)
+
+    def _next_key(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def insert_plane_obs(self, gid, pose_body: se3.Pose, plane_cam, cov3,
+                         lid: int = -1, trace_extra: float = 0.0) -> int:
+        """Camera-frame plane observation -> landmark id + plane factor.
+
+        ``lid >= 0`` skips geometric association (the id was carried by
+        plane propagation); returns the landmark id or -1 when the
+        observation is rejected by the trace gate (addPlaneFactor,
+        gtsam_graph.cpp:1196-1233).
+        """
+        plane_cam = jnp.asarray(plane_cam)
+        cov3 = np.asarray(cov3)
+        # camera -> body frame with tangent-Jacobian cov projection
+        pb, cb = transform_plane_cov(plane_cam, jnp.asarray(cov3),
+                                     se3.inverse(self.u2c_j))
+        trace_snv = float(np.trace(cov3[:2, :2])) + trace_extra
+        carried = lid >= 0
+        if not carried:
+            lid, is_new = self.book.associate(gid, np.asarray(pb),
+                                              pose_body)
+        else:
+            is_new = False
+        cb, accept = inflate_if_uncertain(np.asarray(cb), trace_snv, is_new)
+        if not accept:
+            return -1
+        if carried:
+            # record the re-observation only once the gate accepts it
+            self.book.observe(gid, lid)
+        S = repair_plane_cov(cb)
+        if is_new and len(self.b._planes) <= lid:
+            self.b.add_plane(self.book.world[lid])
+        self.b.add_plane_factor(gid, lid, np.asarray(pb), covariance=S)
+        self.n_plane += 1
+        return lid
+
+    def provider_obs(self, gid, pose_body: se3.Pose, seq) -> None:
+        if self.provider is None:
+            return
+        for (plane_cam, cov3) in self.provider(seq):
+            self.insert_plane_obs(gid, pose_body, plane_cam, cov3)
+
+    def insert_detection(self, gid, pose_body: se3.Pose, det,
+                         trace_extra: float = 0.0) -> None:
+        """Add factors for a PlaneNodeDetection, associating unassigned
+        planes and writing the resolved landmark ids back (the driver's
+        addPlaneFactor / planeNodeAssociation split,
+        test_vro_imu_graph.cpp:256-283)."""
+        for p in range(len(det)):
+            lid = int(det.landmark_ids[p])
+            got = self.insert_plane_obs(gid, pose_body, det.params[p],
+                                        det.cov[p], lid=lid,
+                                        trace_extra=trace_extra)
+            if got >= 0:
+                det.landmark_ids[p] = got
+
+    def _extract(self, seq):
+        fr = self.frames(seq)
+        if fr is None:
+            return None
+        return extract_plane_node(
+            self._next_key(), self.K, fr[0], fr[1],
+            max_planes=self.cfg.max_planes,
+            min_support=self.cfg.min_plane_support)
+
+    def plane_node_for(self, gid, pose_body: se3.Pose, seq,
+                       trace_extra: float = 0.0):
+        """Node ``gid``'s plane set, lazily extracted from its frame when
+        the node carried none (test_vro_imu_graph.cpp:218-233)."""
+        det = self.plane_nodes.get(gid)
+        if det is not None or self.frames is None:
+            return det
+        det = self._extract(seq)
+        if det is not None:
+            self.insert_detection(gid, pose_body, det, trace_extra)
+            self.plane_nodes[gid] = det
+        return det
+
+    def first_node_planes(self, gid, pose_body: se3.Pose, seq) -> None:
+        """firstPlaneNode: register node-0 planes as landmarks
+        (gtsam_graph.cpp:1102-1115; driver test_vro_imu_graph.cpp:135-146).
+        """
+        if self.frames is None:
+            return
+        det = self._extract(seq)
+        if det is not None:
+            self.insert_detection(gid, pose_body, det)
+            self.plane_nodes[gid] = det
+
+    def rescue(self, gj, est: se3.Pose, seq_to, pre_gid, pre_pose: se3.Pose,
+               pre_seq, S_pose) -> None:
+        """Frames-driven plane rescue of a VO failure
+        (test_vro_imu_graph.cpp:205-300): propagate the PREVIOUS FRAME's
+        planes (pre_node_id = m_id-1, :213) through the IMU-predicted
+        relative pose from that node's ESTIMATED pose (:239-240), carry
+        landmark ids, extract fresh planes on the uncovered cloud."""
+        trace_simu = float(np.trace(np.asarray(S_pose)[:3, :3]))
+        if self.frames is None:
+            return
+        pre_det = self.plane_node_for(pre_gid, pre_pose, pre_seq,
+                                      trace_extra=trace_simu)
+        fr = self.frames(seq_to)
+        cur_det = None
+        if fr is not None:
+            if pre_det is not None:
+                T_body = se3.between(pre_pose, est)
+                cur_det = predict_plane_node(
+                    self._next_key(), self.K, pre_det, T_body,
+                    S_pose, fr[0], fr[1], u2c=self.u2c,
+                    max_new_planes=self.cfg.max_planes,
+                    min_support=self.cfg.min_plane_support)
+            else:
+                cur_det = self._extract(seq_to)
+        if cur_det is not None:
+            self.insert_detection(gj, est, cur_det,
+                                  trace_extra=trace_simu)
+        self.plane_nodes[gj] = cur_det
 
 
 def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
@@ -234,8 +397,10 @@ def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
     feedback state untouched; the between row's ``active`` is
     ``~failed`` for new frames and ``edge_valid`` otherwise.
 
-    Returns ``(graph, values, fb, est_R, est_t, pred_vel)`` where ``fb``
-    is the (R, t, vel, bias) feedback state after this record.
+    Returns ``(graph, values, fb, est_R, est_t, pred_vel, st)`` where
+    ``fb`` is the (R, t, vel, bias) feedback state after this record and
+    ``st`` the window's PreintState (the scan engine ignores it; the
+    rescue host step reads its covariance for the plane membership gate).
     """
     from ..core import so3 as _so3
 
@@ -282,7 +447,7 @@ def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
     fb = (jnp.where(is_new, est_R, prev_R),
           jnp.where(is_new, est_t, prev_t),
           jnp.where(is_new, pred_vel, prev_vel), prev_bias)
-    return graph, values, fb, est_R, est_t, pred_vel
+    return graph, values, fb, est_R, est_t, pred_vel, st
 
 
 @functools.partial(jax.jit, static_argnames=("gate",))
@@ -296,15 +461,45 @@ def _fused_vio_step(graph, values, imu_params: ImuParams, acc, gyr, dts,
 
     The between row is written with ``active = ~failed`` so a gated or
     sentinel-failed edge costs its slot but not its residual — no
-    data-dependent host branch, nothing read back per frame.
+    data-dependent host branch, nothing read back per frame. The last
+    output is the 15x15 preintegration covariance (the rescue host step's
+    plane membership gate; other callers drop it unread, so XLA elides
+    the transfer).
     """
-    graph, values, _, est_R, est_t, pred_vel = _vio_frame_kernel(
+    graph, values, _, est_R, est_t, pred_vel, st = _vio_frame_kernel(
         graph, values, imu_params, acc, gyr, dts, prev_R, prev_t,
         prev_vel, prev_bias, meas_R, meas_t, sqrt_info_vo, robust_kind,
         robust_k, failed, jnp.asarray(True), jnp.asarray(True),
         gi, gj - 1, gj, bt_slot, imu_slot, gravity, gate,
         jnp.asarray(gate_thresh, prev_t.dtype))
-    return graph, values, est_R, est_t, pred_vel
+    return graph, values, est_R, est_t, pred_vel, st.cov
+
+
+def _static_init(imu: ImuStream, t0: float, imu_params: ImuParams,
+                 n_samples: int = 0):
+    """Startup gravity/bias initialization from the static window.
+
+    The reference aligns the first pose to the measured gravity direction
+    (``initFromImu``, gtsam_graph.cpp:281-318, driven at
+    main_rgbdslam_imu_offline.cpp:137-140) and estimates the prior bias
+    from the initial static measurements (``initializeGravity``,
+    imu_base.cpp:217-249). The static window is everything before the
+    first image's sync point (``n_samples=0``); a log that starts at the
+    sync point falls back to the first 200 samples (1 s at VN100 rate).
+
+    Returns ``(R0, bias0)``: the gravity-aligned first-node rotation and
+    the (ba, bg) prior bias.
+    """
+    from ..imu.streams import gravity_aligning_rotation, static_bias_estimate
+
+    n = n_samples
+    if n <= 0:
+        idx = find_index_at(imu.t, t0)
+        n = idx if idx > 0 else min(len(imu.t), 200)
+    g_mag = float(np.linalg.norm(np.asarray(imu_params.gravity)))
+    bias0, g_dir = static_bias_estimate(imu, n, gravity_mag=g_mag)
+    R0 = gravity_aligning_rotation(g_dir)
+    return R0, bias0
 
 
 def _pad_window(acc, gyr, n, dt_nom, max_window):
@@ -348,8 +543,16 @@ def _replay_scan(graph, values, xs, prev, imu_params, gravity, gate_thresh,
     replays host-side frame by frame, test_vro_imu_graph.cpp:158-351).
     ``prev`` is the (R, t, vel, bias) feedback state entering the chunk;
     the updated state is returned for the next chunk.
+
+    Besides the carry, each optimize step's window chi2 is emitted as a
+    scan OUTPUT (NaN on non-optimize records): the reference's
+    error-before/after observability (test_gt_graph.cpp:113-117) at zero
+    extra dispatches — the value is already computed by ``windowed_gn``,
+    it just rides the ys instead of being thrown away.
     """
     from ..graph.online import window_graph, windowed_gn
+
+    nan = jnp.asarray(jnp.nan, jax.tree.leaves(values)[0].dtype)
 
     def body(carry, x):
         graph, values, pR, pt_, pv, pb = carry
@@ -367,17 +570,18 @@ def _replay_scan(graph, values, xs, prev, imu_params, gravity, gate_thresh,
         def optimize(c):
             g2, v2, _, _, _, _ = c
             win = window_graph(g2, x["opt_starts"], opt_caps)
-            v3, _ = windowed_gn(win, v2, x["free_from"], wcaps, damping,
-                                iters)
+            v3, werr = windowed_gn(win, v2, x["free_from"], wcaps, damping,
+                                   iters)
             j = x["last_gj"]
-            return (g2, v3, v3.pose_R[j], v3.pose_t[j], v3.vel[j],
-                    v3.bias[j])
+            return ((g2, v3, v3.pose_R[j], v3.pose_t[j], v3.vel[j],
+                     v3.bias[j]), werr.astype(nan.dtype))
 
-        return jax.lax.cond(x["do_opt"], optimize, lambda c: c, carry), None
+        return jax.lax.cond(x["do_opt"], optimize,
+                            lambda c: (c, nan), carry)
 
     carry0 = (graph, values) + tuple(prev)
-    (graph, values, *prev_out), _ = jax.lax.scan(body, carry0, xs)
-    return graph, values, tuple(prev_out)
+    (graph, values, *prev_out), chi2_ys = jax.lax.scan(body, carry0, xs)
+    return graph, values, tuple(prev_out), chi2_ys
 
 
 @jax.jit
@@ -403,23 +607,82 @@ def _expmap_batch(xi):
     return T.R, T.t
 
 
+class _ScanPlaneWriter:
+    """_PlaneStack writer over the scan engine's live OnlineGraph.
+
+    The scan's VO/IMU rows occupy host-precomputed slots (the scan never
+    touches ``og._n``), so the plane tables' append counters stay valid
+    for the rescue host steps; growth re-homes the arenas between
+    segments (a recompile point, like _OnlineVioGraph's).
+    """
+
+    def __init__(self, og: OnlineGraph):
+        self.og = og
+        self._planes: list = []
+
+    def add_plane(self, p) -> int:
+        lid = self.og.num_planes
+        cap = self.og.values.plane.shape[0]
+        if lid >= cap:
+            self.og.grow(plane_var_cap=max(8, 2 * cap))
+        self.og.set_plane(lid, p)
+        self._planes.append(np.asarray(p))
+        return lid
+
+    def add_plane_factor(self, pose_idx, plane_idx, meas, **noise):
+        cap = self.og.graph.plane.pose_idx.shape[0]
+        if self.og._n["plane"] >= cap:
+            self.og.grow(factor_caps={"plane": max(64, 2 * cap)})
+        self.og.add_plane_factor(pose_idx, plane_idx, meas,
+                                 _sqrt_info(3, **noise))
+
+
 def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
                   imu_params: ImuParams, u2c, params: SlamParams,
-                  cfg: VioConfig, lm_params: LMParams) -> VioResult:
+                  cfg: VioConfig, lm_params: LMParams,
+                  frames=None, intrinsics=None,
+                  plane_obs_provider=None) -> VioResult:
     """Host wrapper for ``engine="scan"``: precompute structure, run the
-    one-dispatch replay, finalize like the per-frame engines."""
-    from ..graph.online import _TABLES
+    chunked whole-replay scan, finalize like the per-frame engines.
+
+    With ``plane_mode="rescue"`` and a frame source (or a plane
+    observation provider) this is the FUSED FLAGSHIP path: the failure
+    records are host-known from the log's info sentinel, so the replay is
+    split into scan segments at each failure — everything between
+    failures runs as compiled ``lax.scan`` chunks (one dispatch per
+    chunk), and each failure record is one host step (fused VO/IMU
+    kernel + the batched plane stack: one ``propagate_planes`` dispatch
+    for all planes of the frame, association on host). Within a segment
+    the plane tables are frozen, so the fixed-lag optimizer's per-record
+    window starts stay host-precomputable. Semantics match the online
+    engine's rescue path (pinned by tests); throughput is the scan
+    engine's (test_vro_imu_graph.cpp:205-300 at the 27k-frame budget,
+    gtsam_imuVN100_go.launch:13).
+    """
+    from ..graph.online import _TABLES, window_graph, windowed_gn
     from ..utils.profiling import Chi2Log, PhaseTimer, trace_context
 
     robust_k = cfg.robust_k if cfg.robust == "huber" else None
     gravity = np.asarray(imu_params.gravity)
     Wimu = cfg.max_imu_window
+    rescue_on = cfg.plane_mode == "rescue" and (
+        frames is not None or plane_obs_provider is not None)
+    if rescue_on and cfg.chi2_vro_gate:
+        raise ValueError(
+            "engine='scan' plane rescue requires chi2_vro_gate=False: "
+            "the segment split needs failures host-known from the log")
 
     if len(log) == 0:
         raise ValueError("empty VRO log")
     first_seq = int(log.id_from[0])
     seq2graph = {first_seq: 0}
     seq_ids = [first_seq]
+    if cfg.gravity_init:
+        init_R, init_bias = _static_init(imu, float(t_of(first_seq)),
+                                         imu_params,
+                                         cfg.static_init_samples)
+    else:
+        init_R, init_bias = np.eye(3), np.zeros(6)
     imu.set_start_time(float(t_of(first_seq)))
     cur = 0
     n_imu_rows = 0
@@ -491,6 +754,7 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
             gi=gi, gi_imu=(gj - 1 if is_new else gi), gj=gj,
             bt_slot=len(rows), imu_slot=imu_slot,
             last_gj=len(seq_ids) - 1, do_opt=do_opt,
+            host=(rescue_on and failed and is_new), seq_to=id_to,
             meas_R=R_all[k], meas_t=t_all[k],
             sqrt_info=S_all[k], acc=a, gyr=g, dts=d,
             n_poses=len(seq_ids), n_between=len(rows) + 1,
@@ -506,17 +770,36 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     dummy_slot = imu_cap - 1
     dummy_bt = between_cap - 1
 
+    n_rescue = sum(1 for r in rows if r["host"])
+    if rescue_on:
+        # host-known budget: rescue frames + firstPlaneNode, each holding
+        # up to max_planes propagated + max_planes fresh observations
+        plane_factor_cap = round_up(
+            max(64, (n_rescue + 1) * (2 * cfg.max_planes + 2)), 8)
+        plane_var_cap = max(8, cfg.plane_var_cap)
+    else:
+        plane_factor_cap = 0
+        plane_var_cap = 0
+
     graph = empty_graph(prior_pose_cap=4, between_cap=between_cap,
-                        prior_vel_cap=4, prior_bias_cap=4, plane_cap=0,
-                        imu_cap=imu_cap)
-    arena = empty_arena(pose_cap=P, vel_cap=P, bias_cap=P)
+                        prior_vel_cap=4, prior_bias_cap=4,
+                        plane_cap=plane_factor_cap, imu_cap=imu_cap)
+    arena = empty_arena(pose_cap=P, vel_cap=P, bias_cap=P,
+                        plane_cap=plane_var_cap)
     og = OnlineGraph(graph, arena)
-    og.set_pose(0, se3.identity())
+    pose0 = se3.Pose(jnp.asarray(init_R), jnp.zeros(3))
+    og.set_pose(0, pose0)
     og.set_vel(0, np.zeros(3))
-    og.set_bias(0, np.zeros(6))
-    og.add_prior_pose(0, se3.identity(), _sqrt_info(6, sigmas=np.full(6, 1e-7)))
+    og.set_bias(0, init_bias)
+    og.add_prior_pose(0, pose0, _sqrt_info(6, sigmas=np.full(6, 1e-7)))
     og.add_prior_vel(0, np.zeros(3), _sqrt_info(3, sigma=1e-3))
-    og.add_prior_bias(0, np.zeros(6), _sqrt_info(6, sigma=1e-3))
+    og.add_prior_bias(0, init_bias, _sqrt_info(6, sigma=1e-3))
+
+    stack = None
+    if rescue_on:
+        stack = _PlaneStack(_ScanPlaneWriter(og), cfg, params, intrinsics,
+                            u2c, frames, plane_obs_provider)
+        stack.first_node_planes(0, pose0, first_seq)
 
     # fixed-lag window configuration (full-graph when cfg.window is None)
     if cfg.window is not None and cfg.window <= 0:
@@ -528,22 +811,32 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
             "scheduled optimization QR-solves the FULL arena dimension "
             "inside the compiled scan")
     Wwin = P if cfg.window is None else cfg.window
-    table_caps = {name: jax.tree.leaves(getattr(og.graph, name))[0].shape[0]
-                  for name in _TABLES}
-    if cfg.window:
-        want = {"between": 8 * Wwin, "imu": Wwin}
-    else:
-        want = {}
-    opt_caps = tuple(min(table_caps[nm], want.get(nm, table_caps[nm]))
+    PLANE_TB = _TABLES.index("plane")
+
+    def current_opt_caps():
+        """Per-table window caps from the LIVE graph (plane growth between
+        segments changes table shapes — and therefore compiled shapes)."""
+        table_caps = {
+            name: jax.tree.leaves(getattr(og.graph, name))[0].shape[0]
+            for name in _TABLES}
+        if cfg.window:
+            want = {"between": 8 * Wwin, "imu": Wwin, "plane": 4 * Wwin}
+        else:
+            want = {}
+        return tuple(min(table_caps[nm], want.get(nm, table_caps[nm]))
                      for nm in _TABLES)
 
-    # per-record optimize-window starts + free boundaries (host-known)
+    opt_caps0 = current_opt_caps()
+
+    # per-record optimize-window starts + free boundaries (host-known; the
+    # plane column is patched per segment — plane counts only change at
+    # host steps, never inside a segment)
     counts_keys = {"prior_pose": 1, "prior_vel": 1, "prior_bias": 1,
                    "plane": 0, "projection": 0, "prior_point": 0}
     for r in rows:
         counts = dict(counts_keys, between=r["n_between"], imu=r["n_imu"])
         r["opt_starts"] = np.asarray(
-            [max(0, counts[nm] - opt_caps[t])
+            [max(0, counts[nm] - opt_caps0[t])
              for t, nm in enumerate(_TABLES)], np.int32)
         f = max(0, r["n_poses"] - Wwin)
         r["free_from"] = np.asarray([f, f, f, 0, 0], np.int32)
@@ -553,90 +846,166 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     # host-side stacking only: chunks upload lazily, one per dispatch
     # (stacking straight to device would round-trip the ~512-sample IMU
     # windows — hundreds of MB on long replays — three times)
-    def stack(key, dtype=None):
+    def stack_col(key, dtype=None):
         out = np.stack([r[key] for r in rows])
         return out if dtype is None else out.astype(dtype)
 
     xs_np = {
-        "is_new": stack("is_new", bool), "failed": stack("failed", bool),
-        "edge_valid": stack("edge_valid", bool),
-        "gi": stack("gi", np.int32),
-        "gi_imu": stack("gi_imu", np.int32),
-        "gj": stack("gj", np.int32),
-        "bt_slot": stack("bt_slot", np.int32),
-        "imu_slot": stack("imu_slot", np.int32),
-        "last_gj": stack("last_gj", np.int32),
-        "do_opt": stack("do_opt", bool),
-        "meas_R": stack("meas_R"), "meas_t": stack("meas_t"),
-        "sqrt_info": stack("sqrt_info"),
-        "acc": stack("acc"), "gyr": stack("gyr"), "dts": stack("dts"),
-        "opt_starts": stack("opt_starts"), "free_from": stack("free_from"),
+        "is_new": stack_col("is_new", bool),
+        "failed": stack_col("failed", bool),
+        "edge_valid": stack_col("edge_valid", bool),
+        "gi": stack_col("gi", np.int32),
+        "gi_imu": stack_col("gi_imu", np.int32),
+        "gj": stack_col("gj", np.int32),
+        "bt_slot": stack_col("bt_slot", np.int32),
+        "imu_slot": stack_col("imu_slot", np.int32),
+        "last_gj": stack_col("last_gj", np.int32),
+        "do_opt": stack_col("do_opt", bool),
+        "meas_R": stack_col("meas_R"), "meas_t": stack_col("meas_t"),
+        "sqrt_info": stack_col("sqrt_info"),
+        "acc": stack_col("acc"), "gyr": stack_col("gyr"),
+        "dts": stack_col("dts"),
+        "opt_starts": stack_col("opt_starts"),
+        "free_from": stack_col("free_from"),
     }
+    host_idx = [i for i, r in enumerate(rows) if r["host"]]
+    rec_seq_to = np.asarray([r["seq_to"] for r in rows])
     n_rec = len(rows)
     del rows   # drop the per-record dicts (dominant transient: IMU windows)
 
-    # chunk the scan: one compiled program per <= scan_chunk records (a
-    # single monolithic scan is fastest, but device runtimes can fault on
-    # very long program executions — the reference's 27k-frame budget runs
-    # as ~7 chunked dispatches, all sharing one compilation). The last
-    # chunk is padded with no-op records (inactive rows parked on reserved
-    # dummy slots; carry untouched).
+    noop = dict(
+        is_new=False, failed=True, edge_valid=False, gi=0, gi_imu=0, gj=0,
+        bt_slot=dummy_bt, imu_slot=dummy_slot, last_gj=0, do_opt=False,
+        meas_R=np.eye(3), meas_t=np.zeros(3), sqrt_info=np.eye(6),
+        acc=np.zeros((Wimu, 3)), gyr=np.zeros((Wimu, 3)),
+        dts=np.zeros(Wimu), opt_starts=np.zeros(8, np.int32),
+        free_from=np.zeros(5, np.int32))
+    noop["dts"][0] = imu.dt
+
+    # chunk shapes: full scan_chunk plus power-of-two tails (>= 64), so the
+    # segment split around rescue records compiles a BOUNDED set of
+    # programs instead of one per segment length; pad rows are no-ops on
+    # the reserved dummy slots
     CH = cfg.scan_chunk
-    if n_rec > CH:
-        pad = (-n_rec) % CH
-        if pad:
-            noop = dict(
-                is_new=False, failed=True, edge_valid=False, gi=0,
-                gi_imu=0, gj=0,
-                bt_slot=dummy_bt, imu_slot=dummy_slot, last_gj=0,
-                do_opt=False, meas_R=np.eye(3), meas_t=np.zeros(3),
-                sqrt_info=np.eye(6),
-                acc=np.zeros((Wimu, 3)), gyr=np.zeros((Wimu, 3)),
-                dts=np.zeros(Wimu), opt_starts=np.zeros(8, np.int32),
-                free_from=np.zeros(5, np.int32))
-            noop["dts"][0] = imu.dt
-            for k in xs_np:
-                tail = np.broadcast_to(
-                    np.asarray(noop[k], xs_np[k].dtype),
-                    (pad,) + xs_np[k].shape[1:])
-                xs_np[k] = np.concatenate([xs_np[k], tail])
-        chunk_starts = range(0, len(xs_np["is_new"]), CH)
-        chunks = ({k: jnp.asarray(v[c:c + CH]) for k, v in xs_np.items()}
-                  for c in chunk_starts)
-    else:
-        chunks = iter([{k: jnp.asarray(v) for k, v in xs_np.items()}])
+
+    def chunk_len(remaining: int) -> int:
+        if remaining >= CH:
+            return CH
+        p = 64
+        while p < remaining:
+            p <<= 1
+        return min(p, CH)
 
     chi2_log = Chi2Log()
     pt = PhaseTimer()
+    dt64 = og.values.pose_t.dtype
+    robust_kind_j = jnp.asarray(0 if robust_k is None else 1, jnp.int32)
+    robust_k_j = jnp.asarray(1.0 if robust_k is None else float(robust_k),
+                             dt64)
+    damping_j = jnp.asarray(1e-6, dt64)
+
+    def scan_segment(lo: int, hi: int, prev):
+        """Run scan rows [lo, hi) as chunked compiled dispatches."""
+        while lo < hi:
+            take = chunk_len(hi - lo)
+            n_real = min(hi - lo, take)
+            pad = take - n_real
+            xs_c = {}
+            for key, arr in xs_np.items():
+                sl = arr[lo:lo + n_real]
+                if pad:
+                    tail = np.broadcast_to(
+                        np.asarray(noop[key], arr.dtype),
+                        (pad,) + arr.shape[1:])
+                    sl = np.concatenate([sl, tail])
+                xs_c[key] = sl
+            opt_caps = current_opt_caps()
+            if stack is not None:
+                xs_c["opt_starts"] = xs_c["opt_starts"].copy()
+                xs_c["opt_starts"][:, PLANE_TB] = max(
+                    0, og._n["plane"] - opt_caps[PLANE_TB])
+            xs_c = {k: jnp.asarray(v) for k, v in xs_c.items()}
+            og.graph, og.values, prev, chi2_ys = _replay_scan(
+                og.graph, og.values, xs_c, prev, imu_params,
+                jnp.asarray(gravity, dt64),
+                jnp.asarray(cfg.chi2_threshold, dt64), damping_j,
+                robust_kind_j, robust_k_j,
+                gate=cfg.chi2_vro_gate, iters=cfg.incremental_iters,
+                wcaps=(Wwin, Wwin, Wwin), opt_caps=opt_caps)
+            # in-scan telemetry: the window chi2 of every scheduled
+            # optimization rode the scan outputs — no extra programs
+            opt_rows = np.nonzero(xs_np["do_opt"][lo:lo + n_real])[0]
+            if len(opt_rows):
+                chi2_np = np.asarray(chi2_ys)
+                for q in opt_rows:
+                    chi2_log.add(lo + int(q),
+                                 int(xs_np["last_gj"][lo + q]) + 1, None,
+                                 float(chi2_np[q]))
+            lo += n_real
+        return prev
+
+    def host_step(i: int, prev):
+        """One rescue record: fused VO/IMU kernel + batched plane stack
+        (the online engine's rescue semantics at scan-slot addressing)."""
+        og.graph, og.values, est_R, est_t, pred_vel, S15 = _fused_vio_step(
+            og.graph, og.values, imu_params,
+            jnp.asarray(xs_np["acc"][i]), jnp.asarray(xs_np["gyr"][i]),
+            jnp.asarray(xs_np["dts"][i]),
+            jnp.asarray(prev[0], dt64), jnp.asarray(prev[1], dt64),
+            jnp.asarray(prev[2], dt64), jnp.asarray(prev[3], dt64),
+            jnp.asarray(xs_np["meas_R"][i], dt64),
+            jnp.asarray(xs_np["meas_t"][i], dt64),
+            jnp.asarray(xs_np["sqrt_info"][i], dt64),
+            robust_kind_j, robust_k_j, jnp.asarray(True),
+            jnp.asarray(int(xs_np["gi"][i])),
+            jnp.asarray(int(xs_np["gj"][i])),
+            jnp.asarray(int(xs_np["bt_slot"][i])),
+            jnp.asarray(int(xs_np["imu_slot"][i])),
+            jnp.asarray(gravity, dt64))
+        gj = int(xs_np["gj"][i])
+        og.num_poses = max(og.num_poses, gj + 1)
+        og.num_vels = max(og.num_vels, gj + 1)
+        og.num_biases = max(og.num_biases, gj + 1)
+        est = se3.Pose(est_R, est_t)
+        S_pose = np.asarray(S15)[:6, :6]
+        seq_to = int(rec_seq_to[i])
+        stack.provider_obs(gj, est, seq_to)
+        if frames is not None:
+            pre_gid = gj - 1
+            pre_pose = se3.Pose(og.values.pose_R[pre_gid],
+                                og.values.pose_t[pre_gid])
+            stack.rescue(gj, est, seq_to, pre_gid, pre_pose,
+                         seq_ids[pre_gid], S_pose)
+        prev = (est_R, est_t, pred_vel, prev[3])
+        if xs_np["do_opt"][i]:
+            opt_caps = current_opt_caps()
+            starts = np.array(xs_np["opt_starts"][i])
+            starts[PLANE_TB] = max(0, og._n["plane"] - opt_caps[PLANE_TB])
+            win = window_graph(og.graph, jnp.asarray(starts), opt_caps)
+            vals, werr = windowed_gn(
+                win, og.values, jnp.asarray(xs_np["free_from"][i]),
+                (Wwin, Wwin, Wwin), damping_j, cfg.incremental_iters)
+            og.values = vals
+            j = int(xs_np["last_gj"][i])
+            prev = (vals.pose_R[j], vals.pose_t[j], vals.vel[j],
+                    vals.bias[j])
+            chi2_log.add(i, j + 1, None, float(werr))
+        return prev
+
     with trace_context(cfg.trace_dir):
         with pt("replay_scan"):
-            dt64 = og.values.pose_t.dtype
-            graph, values = og.graph, og.values
-            prev = (values.pose_R[0], values.pose_t[0], values.vel[0],
-                    values.bias[0])
-            done = 0
-            for xs_c in chunks:
-                graph, values, prev = _replay_scan(
-                    graph, values, xs_c, prev, imu_params,
-                    jnp.asarray(gravity, dt64),
-                    jnp.asarray(cfg.chi2_threshold, dt64),
-                    jnp.asarray(1e-6, dt64),
-                    jnp.asarray(0 if robust_k is None else 1, jnp.int32),
-                    jnp.asarray(1.0 if robust_k is None
-                                else float(robust_k), dt64),
-                    gate=cfg.chi2_vro_gate, iters=cfg.incremental_iters,
-                    wcaps=(Wwin, Wwin, Wwin), opt_caps=opt_caps)
-                done += int(xs_c["is_new"].shape[0])
-                if cfg.chunk_chi2_log and done < n_rec:
-                    # per-chunk chi2 record (the reference's error-
-                    # before/after observability pattern at chunk scale).
-                    # Opt-in: executing total_error between chunk
-                    # dispatches degrades remote-relay throughput ~4x
-                    chi2_log.add(min(done, n_rec),
-                                 int(np.asarray(values.num_poses)), None,
-                                 float(total_error(graph, values)))
-            jax.block_until_ready(values.pose_t)
+            prev = (og.values.pose_R[0], og.values.pose_t[0],
+                    og.values.vel[0], og.values.bias[0])
+            seg_lo = 0
+            for i in host_idx:
+                prev = scan_segment(seg_lo, i, prev)
+                with pt("rescue_step"):
+                    prev = host_step(i, prev)
+                seg_lo = i + 1
+            prev = scan_segment(seg_lo, n_rec, prev)
+            jax.block_until_ready(og.values.pose_t)
 
+        graph, values = og.graph, og.values
         n_vo = int(np.asarray(graph.between.active).sum())
         e0 = float(total_error(graph, values))
         if cfg.final_batch:
@@ -651,7 +1020,8 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     return VioResult(values=values, graph=graph,
                      seq_ids=np.asarray(seq_ids), error0=e0, error=err,
                      n_imu_factors=n_imu_rows, n_vo_edges=n_vo,
-                     n_plane_factors=0, plane_book=None,
+                     n_plane_factors=stack.n_plane if stack else 0,
+                     plane_book=stack.book if stack else None,
                      chi2_log=chi2_log, timers=pt.summary())
 
 
@@ -691,15 +1061,17 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
     robust_k = cfg.robust_k if cfg.robust == "huber" else None
 
     if cfg.engine == "scan":
-        if cfg.plane_mode != "off" or frames is not None \
-                or plane_obs_provider is not None:
+        if cfg.plane_mode == "always":
             raise ValueError(
-                "engine='scan' runs the plane-free replay; use "
-                "engine='online' for the plane stack")
+                "engine='scan' supports plane_mode 'off' or 'rescue' "
+                "(failures are host-known from the log, every frame is "
+                "not); use engine='online' for 'always'")
         if not cfg.feedback:
             raise ValueError("engine='scan' requires feedback=True")
         return _run_vio_scan(log, t_of, imu, imu_params, u2c, params, cfg,
-                             lm_params)
+                             lm_params, frames=frames,
+                             intrinsics=intrinsics,
+                             plane_obs_provider=plane_obs_provider)
 
     online = cfg.engine == "online"
     if online:
@@ -715,50 +1087,46 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
     else:
         b = GraphBuilder()
         inc = None
-    book = PlaneLandmarkBook(lookback=params.lookback_nodes) \
+    stack = _PlaneStack(b, cfg, params, intrinsics, u2c_arg, frames,
+                        plane_obs_provider) \
         if cfg.plane_mode != "off" else None
-    rng = [jax.random.PRNGKey(cfg.seed)]
-
-    def next_key():
-        rng[0], sub = jax.random.split(rng[0])
-        return sub
+    book = stack.book if stack is not None else None
 
     seq2graph: dict[int, int] = {}
     seq_ids: list[int] = []
-    plane_nodes: dict[int, object] = {}   # graph id -> PlaneNodeDetection|None
-    n_vo = n_imu = n_plane = 0
+    n_vo = n_imu = 0
+
+    # startup gravity/bias initialization (initFromImu + static window;
+    # see _static_init) — identity pose / zero bias when disabled
+    if cfg.gravity_init and len(log):
+        init_R, init_bias = _static_init(
+            imu, float(t_of(int(log.id_from[0]))), imu_params,
+            cfg.static_init_samples)
+    else:
+        init_R, init_bias = np.eye(3), np.zeros(6)
+    init_pose = se3.Pose(jnp.asarray(init_R), jnp.zeros(3))
 
     # estimator state (feedback loop)
-    prev_pose = se3.identity()
+    prev_pose = init_pose
     prev_vel = jnp.zeros(3)
-    prev_bias = jnp.zeros(6)
+    prev_bias = jnp.asarray(init_bias)
     cur_imu_idx = 0  # measurement cursor relative to sync start
 
     def first_node(seq):
         nonlocal cur_imu_idx
-        gid = b.add_pose((np.eye(3), np.zeros(3)))
+        gid = b.add_pose((init_R, np.zeros(3)))
         b.add_vel(np.zeros(3))
-        b.add_bias(np.zeros(6))
+        b.add_bias(init_bias)
         seq2graph[seq] = gid
         seq_ids.append(seq)
-        b.add_prior_pose(gid, (np.eye(3), np.zeros(3)),
+        b.add_prior_pose(gid, (init_R, np.zeros(3)),
                          sigmas=np.full(6, 1e-7))
         b.add_prior_vel(gid, np.zeros(3), sigma=1e-3)
-        b.add_prior_bias(gid, np.zeros(6), sigma=1e-3)
+        b.add_prior_bias(gid, init_bias, sigma=1e-3)
         imu.set_start_time(float(t_of(seq)))
         cur_imu_idx = 0
-        # firstPlaneNode: register node-0 planes as landmarks
-        # (gtsam_graph.cpp:1102-1115; driver test_vro_imu_graph.cpp:135-146)
-        if frames is not None and book is not None:
-            fr = frames(seq)
-            if fr is not None:
-                det = extract_plane_node(
-                    next_key(), intrinsics, fr[0], fr[1],
-                    max_planes=cfg.max_planes,
-                    min_support=cfg.min_plane_support)
-                if det is not None:
-                    insert_detection(gid, se3.identity(), det)
-                    plane_nodes[gid] = det
+        if stack is not None:
+            stack.first_node_planes(gid, init_pose, seq)
 
     def imu_window_for(seq):
         """Padded measurement window [cur_imu_idx, index_at(t_img))."""
@@ -777,78 +1145,6 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
         a, g, dts = imu_window_for(seq)
         st = init_preint(prev_bias, imu_params)
         return integrate_segment(st, a, g, dts, imu_params)
-
-    def insert_plane_obs(gid, pose_body: se3.Pose, plane_cam, cov3,
-                         lid: int = -1, trace_extra: float = 0.0) -> int:
-        """Camera-frame plane observation -> landmark id + plane factor.
-
-        ``lid >= 0`` skips geometric association (the id was carried by
-        plane propagation); returns the landmark id or -1 when the
-        observation is rejected by the trace gate (addPlaneFactor,
-        gtsam_graph.cpp:1196-1233).
-        """
-        nonlocal n_plane
-        plane_cam = jnp.asarray(plane_cam)
-        cov3 = np.asarray(cov3)
-        # camera -> body frame with tangent-Jacobian cov projection
-        pb, cb = transform_plane_cov(plane_cam, jnp.asarray(cov3),
-                                     se3.inverse(u2c_j))
-        trace_snv = float(np.trace(cov3[:2, :2])) + trace_extra
-        carried = lid >= 0
-        if not carried:
-            lid, is_new = book.associate(gid, np.asarray(pb), pose_body)
-        else:
-            is_new = False
-        cb, accept = inflate_if_uncertain(np.asarray(cb), trace_snv, is_new)
-        if not accept:
-            return -1
-        if carried:
-            # record the re-observation only once the gate accepts it
-            book.observe(gid, lid)
-        S = repair_plane_cov(cb)
-        if is_new and len(b._planes) <= lid:
-            b.add_plane(book.world[lid])
-        b.add_plane_factor(gid, lid, np.asarray(pb), covariance=S)
-        n_plane += 1
-        return lid
-
-    def add_plane_observations(gid, pose_body: se3.Pose, seq):
-        if book is None or plane_obs_provider is None:
-            return
-        for (plane_cam, cov3) in plane_obs_provider(seq):
-            insert_plane_obs(gid, pose_body, plane_cam, cov3)
-
-    def insert_detection(gid, pose_body: se3.Pose, det,
-                         trace_extra: float = 0.0):
-        """Add factors for a PlaneNodeDetection, associating unassigned
-        planes and writing the resolved landmark ids back (the driver's
-        addPlaneFactor / planeNodeAssociation split,
-        test_vro_imu_graph.cpp:256-283)."""
-        for p in range(len(det)):
-            lid = int(det.landmark_ids[p])
-            got = insert_plane_obs(gid, pose_body, det.params[p],
-                                   det.cov[p], lid=lid,
-                                   trace_extra=trace_extra)
-            if got >= 0:
-                det.landmark_ids[p] = got
-
-    def plane_node_for(gid, pose_body: se3.Pose, seq,
-                       trace_extra: float = 0.0):
-        """Previous node's plane set, lazily extracted from its frame when
-        the node carried none (test_vro_imu_graph.cpp:218-233)."""
-        det = plane_nodes.get(gid)
-        if det is not None or frames is None:
-            return det
-        fr = frames(seq)
-        if fr is None:
-            return None
-        det = extract_plane_node(next_key(), intrinsics, fr[0], fr[1],
-                                 max_planes=cfg.max_planes,
-                                 min_support=cfg.min_plane_support)
-        if det is not None:
-            insert_detection(gid, pose_body, det, trace_extra)
-            plane_nodes[gid] = det
-        return det
 
     # observability: per-phase wall timers + chi2-per-update records +
     # optional jax.profiler trace over the whole replay (SURVEY §5)
@@ -870,9 +1166,9 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
 
         if not seq2graph:
             first_node(id_from)
-            prev_pose = se3.identity()
+            prev_pose = init_pose
             prev_vel = jnp.zeros(3)
-            prev_bias = jnp.zeros(6)
+            prev_bias = jnp.asarray(init_bias)
 
         if id_from not in seq2graph:
             continue
@@ -898,7 +1194,7 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
                 bt_slot = og._slot("between", og.graph.between.i.shape[0])
                 imu_slot = og._slot("imu", og.graph.imu.i.shape[0])
                 dt64 = og.values.pose_t.dtype
-                og.graph, og.values, est_R, est_t, pred_vel = \
+                og.graph, og.values, est_R, est_t, pred_vel, _ = \
                     _fused_vio_step(
                         og.graph, og.values, imu_params, a, g_, dts,
                         jnp.asarray(prev_pose.R, dt64),
@@ -973,38 +1269,22 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
             b.add_imu_factor(gj - 1, gj, st, gravity)
             n_imu += 1
 
-            want_planes = (cfg.plane_mode == "always"
-                           or (cfg.plane_mode == "rescue" and failed))
+            want_planes = stack is not None and (
+                cfg.plane_mode == "always"
+                or (cfg.plane_mode == "rescue" and failed))
             if want_planes:
-                add_plane_observations(gj, est, id_to)
-                if frames is not None and book is not None:
-                    # frames-driven plane rescue (test_vro_imu_graph.cpp:
-                    # 205-300): propagate the previous node's planes through
-                    # the IMU-predicted relative pose, carry landmark ids,
-                    # extract fresh planes on the uncovered cloud.
-                    S_pose = np.asarray(st.cov)[:6, :6]
-                    trace_simu = float(np.trace(S_pose[:3, :3]))
-                    pre_det = plane_node_for(gi, prev_pose, id_from,
-                                             trace_extra=trace_simu)
-                    fr = frames(id_to)
-                    cur_det = None
-                    if fr is not None:
-                        if pre_det is not None:
-                            T_body = se3.between(prev_pose, est)
-                            cur_det = predict_plane_node(
-                                next_key(), intrinsics, pre_det, T_body,
-                                S_pose, fr[0], fr[1], u2c=u2c_arg,
-                                max_new_planes=cfg.max_planes,
-                                min_support=cfg.min_plane_support)
-                        else:
-                            cur_det = extract_plane_node(
-                                next_key(), intrinsics, fr[0], fr[1],
-                                max_planes=cfg.max_planes,
-                                min_support=cfg.min_plane_support)
-                    if cur_det is not None:
-                        insert_detection(gj, est, cur_det,
-                                         trace_extra=trace_simu)
-                    plane_nodes[gj] = cur_det
+                stack.provider_obs(gj, est, id_to)
+                if frames is not None:
+                    # frames-driven rescue from the PREVIOUS FRAME's
+                    # estimated pose — NOT the matched node gi and NOT the
+                    # feedback state, which differ when tracking recovers
+                    # against an older keyframe (see _PlaneStack.rescue)
+                    pre_gid = gj - 1
+                    Rp, tp = b.pose(pre_gid)
+                    pre_pose = se3.Pose(jnp.asarray(Rp), jnp.asarray(tp))
+                    stack.rescue(gj, est, id_to, pre_gid, pre_pose,
+                                 seq_ids[pre_gid],
+                                 np.asarray(st.cov)[:6, :6])
 
             if cfg.feedback:
                 prev_pose, prev_vel = est, pred_vel
@@ -1066,5 +1346,6 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
     return VioResult(values=values, graph=graph,
                      seq_ids=np.asarray(seq_ids), error0=e0, error=err,
                      n_imu_factors=n_imu, n_vo_edges=n_vo,
-                     n_plane_factors=n_plane, plane_book=book,
+                     n_plane_factors=stack.n_plane if stack else 0,
+                     plane_book=book,
                      chi2_log=chi2_log, timers=pt.summary())

@@ -11,7 +11,7 @@ from .plane_node import (
     extract_plane_node,
     predict_plane_node,
 )
-from .propagation import PropagationResult, propagate_plane
+from .propagation import PropagationResult, propagate_plane, propagate_planes
 from .psd import inflate_if_uncertain, repair_plane_cov
 
 __all__ = [
@@ -20,6 +20,6 @@ __all__ = [
     "transform_plane_cov",
     "PlaneDetection", "extract_planes", "fit_plane_lsq",
     "PlaneNodeDetection", "extract_plane_node", "predict_plane_node",
-    "PropagationResult", "propagate_plane",
+    "PropagationResult", "propagate_plane", "propagate_planes",
     "repair_plane_cov", "inflate_if_uncertain",
 ]

@@ -131,19 +131,40 @@ class PlaneLandmarkBook:
     def associate(self, node_id: int, plane_body, pose_world: se3.Pose,
                   cos_thresh: float = np.cos(10.0 * np.pi / 180.0),
                   d_thresh: float = 0.2) -> tuple[int, bool]:
-        """Return (landmark_id, is_new) for a body-frame observation."""
+        """Return (landmark_id, is_new) for a body-frame observation.
+
+        Pure NumPy on host: the candidate set is tiny (<= the 7-node
+        window's landmarks) and the match math is a handful of dot
+        products — dispatching it to a device per candidate would
+        dominate the rescue host step on remote-attached backends. Same
+        semantics as the jitted ``match_plane`` (pinned by tests).
+        """
         cand_ids = self.candidates(node_id)
-        cand_planes = [jnp.asarray(self.world[i]) for i in cand_ids]
-        m = match_plane(plane_body, cand_planes, pose_world,
-                        cos_thresh, d_thresh)
-        if m >= 0:
-            lid = cand_ids[m]
-            self.last_seen[lid] = node_id
-            self.seen_count[lid] += 1
-            self.node_landmarks.setdefault(node_id, []).append(lid)
-            return lid, False
+        R = np.asarray(pose_world.R)
+        t = np.asarray(pose_world.t)
+        ni = np.asarray(plane_body, np.float64)
+        best, best_cos = -1, -np.inf
+        for lid_ in cand_ids:
+            w = self.world[lid_]
+            # oriented_plane.transform(w, R, t): n' = R^T n, d' = d + n.t
+            n_pred = R.T @ w[:3]
+            d_pred = w[3] + w[:3] @ t
+            c = float(n_pred @ ni[:3])
+            sign = -1.0 if c < 0 else 1.0
+            c *= sign
+            if (c >= cos_thresh and abs(sign * ni[3] - d_pred) <= d_thresh
+                    and c > best_cos):
+                best, best_cos = lid_, c
+        if best >= 0:
+            self.last_seen[best] = node_id
+            self.seen_count[best] += 1
+            self.node_landmarks.setdefault(node_id, []).append(best)
+            return best, False
         lid = len(self.world)
-        w = np.asarray(plane_to_world(jnp.asarray(plane_body), pose_world))
+        # plane_to_world in NumPy: transform by the inverse pose
+        # (Ri, ti) = (R^T, -R^T t) -> n_w = R n, d_w = d - n . (R^T t)
+        w = np.concatenate([R @ ni[:3],
+                            [ni[3] - ni[:3] @ (R.T @ t)]])
         self.world.append(w)
         self.last_seen.append(node_id)
         self.seen_count.append(1)

@@ -34,7 +34,7 @@ from ..config import CameraIntrinsics
 from ..core import se3
 from . import oriented_plane
 from .extraction import extract_planes
-from .propagation import propagate_plane
+from .propagation import propagate_planes
 
 __all__ = ["PlaneNodeDetection", "extract_plane_node", "predict_plane_node"]
 
@@ -188,24 +188,32 @@ def predict_plane_node(key, K: CameraIntrinsics,
     covered = np.zeros((h, w), bool)
     num_added = 0
 
-    if prev is not None:
-        for l in range(len(prev)):
-            S_ni, S_di = _tangent_to_nv_cov(prev.params[l], prev.cov[l])
-            res = propagate_plane(
-                K, jnp.asarray(prev.params[l]), jnp.asarray(S_ni),
-                jnp.asarray(S_di), jnp.asarray(prev.masks[l]),
-                jnp.asarray(int(prev.counts[l])), T_cam, S_tij,
-                intensity, depth, grow_steps=grow_steps, z_min=z_min,
-                z_max=z_max, keep_ratio=keep_ratio, sigma_z=sigma_z)
-            if bool(res.ok):
-                mask = np.asarray(res.mask)
-                kept_params.append(np.asarray(res.plane))
-                kept_cov.append(np.asarray(res.cov))
-                kept_masks.append(mask)
-                kept_counts.append(int(res.count))
-                kept_lids.append(int(prev.landmark_ids[l]))
-                covered |= mask
-                num_added += int(res.count)
+    if prev is not None and len(prev):
+        # ALL previous planes in one batched dispatch (propagate_planes);
+        # acceptance/bookkeeping stays host-side per plane
+        nv = [_tangent_to_nv_cov(prev.params[l], prev.cov[l])
+              for l in range(len(prev))]
+        res = propagate_planes(
+            K, jnp.asarray(prev.params),
+            jnp.asarray(np.stack([s for s, _ in nv])),
+            jnp.asarray(np.asarray([d for _, d in nv])),
+            jnp.asarray(prev.masks),
+            jnp.asarray(prev.counts.astype(np.float64)), T_cam, S_tij,
+            intensity, depth, grow_steps=grow_steps, z_min=z_min,
+            z_max=z_max, keep_ratio=keep_ratio, sigma_z=sigma_z)
+        ok_np = np.asarray(res.ok)
+        masks_np = np.asarray(res.mask)
+        params_np = np.asarray(res.plane)
+        cov_np = np.asarray(res.cov)
+        counts_np = np.asarray(res.count)
+        for l in np.nonzero(ok_np)[0]:
+            kept_params.append(params_np[l])
+            kept_cov.append(cov_np[l])
+            kept_masks.append(masks_np[l])
+            kept_counts.append(int(counts_np[l]))
+            kept_lids.append(int(prev.landmark_ids[l]))
+            covered |= masks_np[l]
+            num_added += int(counts_np[l])
 
     kept = PlaneNodeDetection(
         params=np.asarray(kept_params).reshape(-1, 4),

@@ -45,7 +45,7 @@ def _backproject(K, u, v, z):
     return jnp.stack([x, y, jnp.asarray(z)], axis=-1)
 
 __all__ = ["propagated_distance_variance", "propagate_plane",
-           "PropagationResult"]
+           "propagate_planes", "PropagationResult"]
 
 
 class PropagationResult(NamedTuple):
@@ -168,5 +168,94 @@ def propagate_plane(K: CameraIntrinsics, plane_i, S_ni, S_di, prev_mask,
     plane_fit = fit_plane_lsq(flat_pts, flat_m)
     cov = plane_tangent_cov(plane_fit, flat_pts, flat_m, sigma_z)
     plane_out = jnp.where(ok, plane_fit, plane_j)
+    return PropagationResult(plane=plane_out, cov=cov, mask=mask,
+                             count=count, ok=ok)
+
+
+def _region_grow_batch(seed, member, sm_l, sm_r, sm_u, sm_d,
+                       steps: int):
+    """Batched flood fill over (P, H, W) masks; smoothness gates (H, W)
+    broadcast across planes. Same math as ``region_grow_xla``."""
+    from .pallas_grow import _bshift
+
+    def grow(mask, _):
+        grown = (
+            (_bshift(mask, 1, 2) & sm_l)
+            | (_bshift(mask, -1, 2) & sm_r)
+            | (_bshift(mask, 1, 1) & sm_u)
+            | (_bshift(mask, -1, 1) & sm_d)
+        )
+        return (mask | grown) & member, None
+
+    mask, _ = jax.lax.scan(grow, seed & member, None, length=steps)
+    return mask
+
+
+@partial(jax.jit, static_argnames=("K", "grow_steps"))
+def propagate_planes(K: CameraIntrinsics, planes_i, S_ni, S_di, prev_masks,
+                     prev_counts, T_ij: se3.Pose, S_tij, intensity, depth,
+                     grow_steps: int = 64, z_min: float = 0.1,
+                     z_max: float = 5.0, keep_ratio: float = 0.7,
+                     intensity_tol: float = 5.0,
+                     sigma_z: float = 0.014) -> PropagationResult:
+    """ALL planes of a frame in ONE device program (batched
+    ``propagate_plane``; the fused rescue path's hot dispatch).
+
+    The frame-shared work — backprojection, inverse-warp coordinates,
+    smoothness gates — is computed once; membership, seeding, the flood
+    fill, and the refit run batched over the plane axis. Args are the
+    stacked per-plane arrays: ``planes_i (P,4)``, ``S_ni (P,3,3)``,
+    ``S_di (P,)``, ``prev_masks (P,H,W)``, ``prev_counts (P,)``. Returns a
+    ``PropagationResult`` with a leading plane axis. Semantics match the
+    single-plane kernel row for row (pinned by tests).
+    """
+    dtype = depth.dtype
+    h, w = depth.shape
+
+    plane_j = oriented_plane.transform(planes_i, T_ij.R, T_ij.t)   # (P, 4)
+    S_dj = jax.vmap(propagated_distance_variance,
+                    in_axes=(0, 0, 0, None, None))(
+        planes_i, S_ni, S_di, T_ij, S_tij)
+    gate = jnp.maximum(S_dj, 0.014 * 0.014)                        # (P,)
+
+    vs = jnp.arange(h, dtype=dtype)
+    us = jnp.arange(w, dtype=dtype)
+    uu, vv = jnp.meshgrid(us, vs)
+    pts = _backproject(K, uu, vv, depth)                           # (H, W, 3)
+    z_ok = (depth > z_min) & (depth < z_max)
+    dis = (jnp.einsum("hwi,pi->phw", pts, plane_j[:, :3])
+           + plane_j[:, 3, None, None])
+    member = (dis * dis <= gate[:, None, None]) & z_ok[None]
+
+    p_prev = se3.transform_from(T_ij, pts.reshape(-1, 3)).reshape(h, w, 3)
+    zp = jnp.where(p_prev[..., 2] > 1e-6, p_prev[..., 2], 1e-6)
+    up = K.fx * p_prev[..., 0] / zp + K.cx
+    vp = K.fy * p_prev[..., 1] / zp + K.cy
+    seed_val = jax.vmap(
+        lambda m: _bilinear(m.astype(jnp.float32), up, vp))(prev_masks)
+    seed = (seed_val > 0.25) & member
+
+    img = jnp.asarray(intensity, dtype)
+
+    def smooth(shifted):
+        return jnp.abs(img - shifted) <= intensity_tol
+
+    sm_l = smooth(jnp.roll(img, 1, axis=1))
+    sm_r = smooth(jnp.roll(img, -1, axis=1))
+    sm_u = smooth(jnp.roll(img, 1, axis=0))
+    sm_d = smooth(jnp.roll(img, -1, axis=0))
+
+    mask = _region_grow_batch(seed, member, sm_l, sm_r, sm_u, sm_d,
+                              steps=grow_steps)
+    count = jnp.sum(mask, axis=(1, 2))
+    ok = count >= keep_ratio * prev_counts
+
+    flat_pts = pts.reshape(-1, 3)
+    plane_fit = jax.vmap(
+        lambda m: fit_plane_lsq(flat_pts, m.reshape(-1)))(mask)
+    cov = jax.vmap(
+        lambda pf, m: plane_tangent_cov(pf, flat_pts, m.reshape(-1),
+                                        sigma_z))(plane_fit, mask)
+    plane_out = jnp.where(ok[:, None], plane_fit, plane_j)
     return PropagationResult(plane=plane_out, cov=cov, mask=mask,
                              count=count, ok=ok)

@@ -16,6 +16,14 @@ Produces, next to this file:
 These freeze the optimizer's conventions (noise whitening, LM schedule,
 SE(3) retraction, frame handling): any change that shifts final chi2 by
 more than 1e-6 relative or moves the trajectory breaks tests/test_goldens.py.
+
+The pinned chi2 values come from the INDEPENDENT pure-NumPy LM
+(``tests/np_optimizer.py`` — numeric Jacobians, its own schedule, no shared
+code), not from the JAX optimizer being tested: the parity gate therefore
+detects convention errors, not just drift. The JAX values are recorded
+alongside and asserted against the NumPy optimum at 1e-6 relative here at
+generation time (measured agreement: ~1e-10 on the VRO fixture, ~5e-15 on
+sphere200).
 """
 
 import json
@@ -88,7 +96,20 @@ def make_vro_golden():
     res = run_pose_graph(log, SlamParams(), bucket=64)
     ids, t, q, seq = trajectory_arrays(res.values, res.seq_ids)
     write_trajectory(os.path.join(HERE, "posegraph_traj.log"), ids, t, q, seq)
-    return {"vro_error0": res.error0, "vro_error": res.error}
+
+    # pin from the independent NumPy LM; gate the JAX result against it
+    import sys
+
+    sys.path.insert(0, os.path.dirname(HERE))
+    import np_optimizer as npo
+
+    nf, nv = npo.graph_from_vro(log)
+    np_e0 = npo.total_error(nf, nv)
+    _, np_err = npo.lm_optimize(nf, nv, max_iters=80)
+    assert abs(res.error0 - np_e0) <= 1e-9 * np_e0, (res.error0, np_e0)
+    assert abs(res.error - np_err) <= 1e-6 * np_err, (res.error, np_err)
+    return {"vro_error0": np_e0, "vro_error": np_err,
+            "vro_error_jax": res.error}
 
 
 def make_g2o_golden():
@@ -117,10 +138,24 @@ def make_g2o_golden():
     path = os.path.join(HERE, "sphere200_noisy.g2o")
     write_g2o(path, t, q, edges)
 
-    # pinned optimum through the same entry point the test uses
+    # pin the optimum from the independent NumPy LM; the JAX entry point
+    # the test uses must agree at 1e-6 relative
     res = run_g2o_file(path, LMParams(relative_error_tol=1e-12,
                                       absolute_error_tol=1e-12), bucket=64)
-    return {"g2o_error0": res.error0, "g2o_error": res.error}
+    import sys
+
+    sys.path.insert(0, os.path.dirname(HERE))
+    import np_optimizer as npo
+    from graph_slam_tpu.io import read_g2o
+
+    vertices, g2o_edges = read_g2o(path)
+    nf, nv = npo.graph_from_g2o(vertices, g2o_edges)
+    np_e0 = npo.total_error(nf, nv)
+    _, np_err = npo.lm_optimize(nf, nv, max_iters=80)
+    assert abs(res.error0 - np_e0) <= 1e-9 * np_e0, (res.error0, np_e0)
+    assert abs(res.error - np_err) <= 1e-6 * np_err, (res.error, np_err)
+    return {"g2o_error0": np_e0, "g2o_error": np_err,
+            "g2o_error_jax": res.error}
 
 
 def main():

@@ -51,6 +51,15 @@ def test_vio_replay_path():
     assert np.isfinite(out["chi2"])
 
 
+def test_vio_planes_path():
+    out = bench.bench_vio_planes(n_frames=30, fail_every=10)
+    assert out["value"] > 0
+    assert out["n_rescue_frames"] == 2
+    assert out["n_plane_factors"] > 0
+    assert np.isfinite(out["chi2"])
+    assert out["host_stepped_online_fps"] > 0
+
+
 def test_ba_schur_path(monkeypatch):
     # shrink the BA config through its module constants? the function
     # hardcodes sizes — patch make_ba_graph's call via a wrapper

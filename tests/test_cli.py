@@ -112,6 +112,32 @@ class TestCliEndToEnd:
         assert "scored 4 edges" in stdout
         assert os.path.exists(out)
 
+    def test_delete_vo_and_add_vo_sparse(self, scenario):
+        """The two remaining gtsam/test log tools as CLI drivers
+        (delete_vo_by_plane_check.cpp / add_vo_at_sparse_area.cpp)."""
+        from graph_slam_tpu.io import read_vro_log
+
+        root, frames_dir, vro_path, xs = scenario
+        scores = str(root / "scores.log")
+        run_cli("plane-check", "--vro", vro_path, "--frames", frames_dir,
+                "--out", scores)
+        out_del = str(root / "vro_del.log")
+        stdout = run_cli("delete-vo", "--vro", vro_path,
+                         "--scores", scores, "--thresh", "-1.0",
+                         "--out", out_del)
+        assert "voided" in stdout
+        voided = read_vro_log(out_del)
+        assert (~voided.valid).sum() >= 1   # thresh -1 voids scored edges
+
+        out_add = str(root / "vro_add.log")
+        stdout = run_cli("add-vo-sparse", "--vro", vro_path,
+                         "--frames", frames_dir,
+                         "--sparse-thresh", "9999", "--window", "3",
+                         "--out", out_add)
+        assert "edges added" in stdout
+        added = read_vro_log(out_add)
+        assert len(added) >= len(read_vro_log(vro_path))
+
     def test_ba_imu(self, scenario):
         root, frames_dir, vro_path, xs = scenario
         stdout = run_cli("ba-imu", "--frames", frames_dir,

@@ -223,9 +223,11 @@ def test_nonadjacent_recovery_edge_semantics():
     assert np.linalg.norm(results["scan"] - gt, axis=1).max() < 0.05
 
 
-def test_scan_rejects_plane_modes():
+def test_scan_rejects_always_plane_mode():
+    """'rescue' is now a first-class scan mode (see test_scan_rescue.py);
+    'always' — planes on every frame — still requires the online engine."""
     log, times, stream, params, _ = synth_sequence(n_frames=6,
                                                    loop_pairs=())
-    with pytest.raises(ValueError, match="scan"):
+    with pytest.raises(ValueError, match="always"):
         run_vio(log, times, stream, params,
-                cfg=VioConfig(engine="scan", plane_mode="rescue"))
+                cfg=VioConfig(engine="scan", plane_mode="always"))
