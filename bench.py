@@ -417,6 +417,45 @@ def bench_dispatch():
             "value": round(dt / 8 * 1e3, 3), "unit": "ms/call"}
 
 
+def bench_banded_direct():
+    """Headline config with the superblock block-Thomas EXACT direct
+    solve (MXU-shaped dense Cholesky/matmul steps instead of CG over
+    padded 6x6 blocks). The step is exact, so fewer GN iterations are
+    needed — reports both raw iters/sec and iterations-to-0.1x-chi2."""
+    from collections import namedtuple
+
+    from graph_slam_tpu.graph import total_error
+    from graph_slam_tpu.graph.banded import (band_halfwidth,
+                                             banded_direct_gn_optimize)
+
+    graph, values, _ = _sphere()
+    W = band_halfwidth(graph)
+    Res = namedtuple("Res", "values error")
+    iters = 50          # exact steps: 200 would be pure overkill
+
+    def call(v):
+        out, err = banded_direct_gn_optimize(graph, v, iterations=iters,
+                                             band_w=W, damping=1e-6)
+        return Res(out, err)
+
+    dt, res = _chained_time(call, values, n_calls=1)
+    e0 = float(total_error(graph, values))
+    assert float(res.error) < 0.1 * e0
+    # convergence profile: iterations the exact step needs to hit 0.1x
+    conv_iters = None
+    for k in (2, 4, 8):
+        _, ek = banded_direct_gn_optimize(graph, values, iterations=k,
+                                          band_w=W, damping=1e-6)
+        if float(ek) < 0.1 * e0:
+            conv_iters = k
+            break
+    return {"metric": "GN iters/sec, superblock block-Thomas EXACT direct "
+                      "solve (banded_direct_gn_optimize)",
+            "value": round(iters / dt, 3), "unit": "GN iters/sec",
+            "band_halfwidth": W, "superblock": max(W, 32),
+            "iters_to_0.1x_chi2": conv_iters, "chi2": float(res.error)}
+
+
 def bench_banded():
     """Headline config with the block-banded scatter-free CG variant."""
     from graph_slam_tpu.graph import total_error
@@ -450,6 +489,7 @@ SECONDARY = {
     "vio_27k": lambda: bench_vio_replay(n_frames=27000),
     "gather_pcg": bench_gather_pcg,
     "banded": bench_banded,
+    "banded_direct": bench_banded_direct,
     "dispatch": bench_dispatch,
     "amortized": bench_amortized,
 }
@@ -531,7 +571,7 @@ def main():
     t_budget = time.perf_counter()
     total_budget = 1800.0
     for name in ("vio_planes", "ba_schur", "vio_replay", "vio_27k",
-                 "amortized"):
+                 "banded_direct", "amortized"):
         remaining = total_budget - (time.perf_counter() - t_budget)
         if remaining < 60:
             extra[name] = {"skipped": "bench time budget"}

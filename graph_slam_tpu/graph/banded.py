@@ -25,8 +25,18 @@ Measured (TPU v5e, sphere2500, 2026-08-16): 45.6 GN it/s vs 263 it/s for
 the fused scatter-add PCG — the (P, 2W+1, 6, 6) batched matvec pads each
 tiny 6x6 block to an MXU tile, swamping the scatter savings. Kept as a
 correct, tested alternative (``bench.py --single banded``); the scatter
-path remains the default. A future Pallas kernel owning the band layout
-in VMEM is the path to making this formulation win.
+path remains the default.
+
+The MXU-native reformulation is ``banded_direct_gn_optimize``: group S
+consecutive poses (S >= W) into SUPERBLOCKS of dimension 6S; the banded
+Hessian is then block-TRIDIAGONAL in superblocks, and one GN step is an
+EXACT Newton solve by the block Thomas algorithm — a ``lax.scan`` of
+dense (6S, 6S) Cholesky factorizations, triangular solves, and matmuls,
+every one of them MXU-shaped (S=64 -> 384x384 operands), instead of an
+iterative CG over tiny padded blocks. Per GN iteration it does more FLOPs
+than PCG-10 but they are dense-matmul FLOPs, and the step is exact, so GN
+converges in fewer iterations (``bench.py --single banded_direct``
+reports convergence alongside throughput).
 """
 
 from __future__ import annotations
@@ -41,7 +51,8 @@ from .factors import FactorGraph, linearize_blocks, total_error
 from .solve import solve_pcg_precond
 from .variables import VariableArena, layout_of, retract_all, used_slot_mask
 
-__all__ = ["band_halfwidth", "banded_gn_optimize"]
+__all__ = ["band_halfwidth", "banded_gn_optimize",
+           "banded_direct_gn_optimize"]
 
 
 def band_halfwidth(graph: FactorGraph) -> int:
@@ -112,6 +123,127 @@ def _band_matvec_fn(Hband, mask, lam, W: int):
         return out + lam * v + (1.0 - mask) * v
 
     return matvec
+
+
+def _superblock_tridiag(Hband, g, W: int, S: int):
+    """Regroup the block band into superblock tridiagonal form.
+
+    ``Hband`` (P, 2W+1, 6, 6) with W <= S -> ``A`` (K, 6S, 6S) diagonal
+    superblocks, ``B`` (K-1, 6S, 6S) upper off-diagonals, ``gs`` (K, 6S),
+    where K = P / S (caller pads P to a multiple of S). Entry (a, b) of
+    superblock (k, k+d) is block H[kS+a, (k+d)S+b] = Hband[kS+a,
+    W + dS + b - a], which exists iff |dS + b - a| <= W.
+    """
+    P = Hband.shape[0]
+    K = P // S
+    a = jnp.arange(S)[:, None]                    # row block within super
+    b = jnp.arange(S)[None, :]                    # col block within super
+
+    def gather(d):
+        off = d * S + b - a                       # (S, S) band offsets
+        ok = jnp.abs(off) <= W
+        w = jnp.clip(off + W, 0, 2 * W)
+        p = jnp.arange(K)[:, None, None] * S + a[None]       # (K, S, S)
+        blocks = Hband[p, w[None]]                           # (K, S, S, 6, 6)
+        blocks = jnp.where(ok[None, :, :, None, None], blocks, 0.0)
+        # (K, S, 6, S, 6) -> (K, 6S, 6S)
+        return blocks.transpose(0, 1, 3, 2, 4).reshape(K, 6 * S, 6 * S)
+
+    A = gather(0)
+    B = gather(1)[:-1]                            # coupling k -> k+1
+    gs = g.reshape(K, 6 * S)
+    return A, B, gs
+
+
+def _solve_block_tridiag(A, B, gs):
+    """Exact solve of the superblock-tridiagonal system (block Thomas).
+
+    Forward elimination as one ``lax.scan`` of dense Cholesky +
+    triangular-solve + matmul steps (each (n, n) with n = 6S — MXU-shaped),
+    then a reversed back-substitution scan.
+
+        C_0 = A_0,  y_0 = g_0
+        C_k = A_k - B_{k-1}^T C_{k-1}^{-1} B_{k-1}
+        y_k = g_k - B_{k-1}^T C_{k-1}^{-1} y_{k-1}
+        x_{K-1} = C_{K-1}^{-1} y_{K-1};  x_k = C_k^{-1} (y_k - B_k x_{k+1})
+    """
+    K, n, _ = A.shape
+    dt = A.dtype
+    Bp = jnp.concatenate([jnp.zeros((1, n, n), dt), B])   # B_{k-1}, k=0..K-1
+
+    def chol_solve(L, rhs):
+        z = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+    def fwd(carry, x):
+        L_prev, y_prev = carry
+        A_k, g_k, B_km1 = x
+        CinvB = chol_solve(L_prev, B_km1)                  # C^{-1} B
+        Cinvy = chol_solve(L_prev, y_prev)
+        C_k = A_k - B_km1.T @ CinvB
+        y_k = g_k - B_km1.T @ Cinvy
+        L_k = jnp.linalg.cholesky(C_k)
+        return (L_k, y_k), (L_k, y_k)
+
+    # k = 0 seeds the carry with an identity "previous" and zero coupling
+    carry0 = (jnp.eye(n, dtype=dt), jnp.zeros(n, dt))
+    (_, _), (Ls, ys) = jax.lax.scan(fwd, carry0, (A, gs, Bp))
+
+    def bwd(x_next, x):
+        L_k, y_k, B_k = x
+        x_k = chol_solve(L_k, y_k - B_k @ x_next)
+        return x_k, x_k
+
+    Bn = jnp.concatenate([B, jnp.zeros((1, n, n), dt)])    # B_k, k..K-1
+    _, xs = jax.lax.scan(bwd, jnp.zeros(n, dt), (Ls, ys, Bn), reverse=True)
+    return xs.reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "band_w", "super_s", "damping"))
+def banded_direct_gn_optimize(graph: FactorGraph, values: VariableArena,
+                              iterations: int = 10, band_w: int = 64,
+                              super_s: int = 0, damping: float = 0.0):
+    """Gauss-Newton with an EXACT banded direct solve per iteration.
+
+    The band is regrouped into superblocks of ``super_s`` poses
+    (default max(band_w, 32), must be >= band_w so coupling stays
+    tridiagonal) and solved by the block Thomas algorithm — dense
+    (6S, 6S) Cholesky/solve/matmul steps on the MXU instead of CG over
+    padded 6x6 blocks. Pose-only graphs; requires the pose capacity to
+    be treated modulo S (trailing partial superblock is padded through
+    the unused-slot mask).
+    """
+    S = super_s if super_s else max(band_w, 32)
+    if S < band_w:
+        raise ValueError("super_s must be >= band_w")
+    dt = values.pose_t.dtype
+    lay = layout_of(values)
+    P = lay.pose_cap
+    pad_p = (-P) % S
+
+    def body(vals, _):
+        mask = used_slot_mask(vals)
+        Hband, g = _assemble_band(graph, vals, band_w)
+        # damping + unused-slot anchoring on the block diagonal
+        diag = (damping * mask + (1.0 - mask)).reshape(-1, 6)
+        Hband = Hband.at[:, band_w].add(
+            diag[:, :, None] * jnp.eye(6, dtype=dt))
+        if pad_p:
+            Hband = jnp.pad(Hband, ((0, pad_p), (0, 0), (0, 0), (0, 0)))
+            # padded poses: identity diagonal keeps the Cholesky PD
+            eye = jnp.broadcast_to(jnp.eye(6, dtype=dt), (pad_p, 6, 6))
+            Hband = Hband.at[P:, band_w].set(eye)
+            g2 = jnp.concatenate([-g, jnp.zeros(6 * pad_p, dt)])
+        else:
+            g2 = -g   # GN step: (H + lam I) delta = -g
+        A, B, gs = _superblock_tridiag(Hband, g2, band_w, S)
+        delta = _solve_block_tridiag(A, B, gs)[:6 * P]
+        return retract_all(vals, delta), None
+
+    values, _ = jax.lax.scan(body, values, None, length=iterations)
+    err = total_error(graph, values)
+    return values, err
 
 
 @functools.partial(

@@ -11,6 +11,7 @@ from .streams import (
     ImuStream,
     find_index_at,
     gravity_aligning_rotation,
+    mems_frame_times,
     read_mems_log,
     read_vn100_log,
     static_bias_estimate,
@@ -21,5 +22,6 @@ __all__ = [
     "predict_navstate", "corrected_deltas",
     "vn100_params", "mems_params", "VN100_DT", "MEMS_DT",
     "ImuStream", "read_vn100_log", "read_mems_log", "find_index_at",
+    "mems_frame_times",
     "static_bias_estimate", "gravity_aligning_rotation",
 ]

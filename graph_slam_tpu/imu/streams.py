@@ -22,7 +22,8 @@ import numpy as np
 from .presets import mems_accel_lsb_to_ms2, mems_gyro_lsb_to_rad
 
 __all__ = ["ImuStream", "read_vn100_log", "read_mems_log", "find_index_at",
-           "static_bias_estimate", "gravity_aligning_rotation"]
+           "mems_frame_times", "static_bias_estimate",
+           "gravity_aligning_rotation"]
 
 
 @dataclasses.dataclass
@@ -80,6 +81,35 @@ def read_mems_log(path: str, dt: float = 0.01) -> ImuStream:
     if len(jumps):
         s.start = int(jumps[0]) + 1
     return s
+
+
+def mems_frame_times(elapsed_ms, seqs=None, dt: float = 0.01,
+                     start_index: int = 0) -> dict:
+    """Per-frame timestamps from the MEMS driver's elapsed-time records.
+
+    The reference's online MEMS VIO has no hardware camera/IMU clock; it
+    advances the IMU cursor per frame with a heuristic over the recorded
+    per-frame elapsed milliseconds (``test_gt_imu_MEMS.cpp:97-110``):
+    missing or <20 ms -> 34 ms (nominal frame period), 100-150 ms ->
+    doubled, >=150 ms -> x1.5, then ``round(elapsed / 10)`` IMU samples
+    (10 ms each). Returns ``{seq: timestamp}`` on the stream's absolute
+    time axis (``start_index`` = the stream's frame-id sync offset).
+    """
+    elapsed_ms = list(elapsed_ms)
+    seqs = list(range(len(elapsed_ms))) if seqs is None else list(seqs)
+    times = {}
+    idx = 0
+    for k, s in enumerate(seqs):
+        e = float(elapsed_ms[k]) if k < len(elapsed_ms) else 34.0
+        if e < 20.0:
+            e = 34.0
+        elif 100.0 < e < 150.0:
+            e *= 2.0
+        elif e >= 150.0:
+            e *= 1.5
+        idx += int(e / 10.0 + 0.5)
+        times[s] = (start_index + idx) * dt
+    return times
 
 
 def find_index_at(timestamps: np.ndarray, t: float, start: int = 0) -> int:

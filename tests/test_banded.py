@@ -6,7 +6,11 @@ import pytest
 
 from graph_slam_tpu.datasets import make_ba_graph, make_sphere_graph
 from graph_slam_tpu.graph import gn_optimize
-from graph_slam_tpu.graph.banded import band_halfwidth, banded_gn_optimize
+from graph_slam_tpu.graph.banded import (
+    band_halfwidth,
+    banded_direct_gn_optimize,
+    banded_gn_optimize,
+)
 
 
 class TestBanded:
@@ -25,6 +29,46 @@ class TestBanded:
         np.testing.assert_allclose(np.asarray(vals_b.pose_t),
                                    np.asarray(res_d.values.pose_t),
                                    atol=1e-10)
+
+    def test_direct_matches_dense_gn(self):
+        """The superblock block-Thomas EXACT solve: same iterates as the
+        dense GN solver (both exact, same damping) to solver precision."""
+        graph, values, _ = make_sphere_graph(n_poses=60, edges_per_pose=3.0,
+                                             seed=0, dtype=jnp.float64,
+                                             bucket=4)
+        W = band_halfwidth(graph)
+        vals_b, err_b = banded_direct_gn_optimize(
+            graph, values, iterations=6, band_w=W, damping=1e-6)
+        res_d = gn_optimize(graph, values, iterations=6, solver="dense",
+                            damping=1e-6)
+        assert abs(float(err_b) - float(res_d.error)) \
+            <= 1e-9 * max(float(res_d.error), 1e-9)
+        np.testing.assert_allclose(np.asarray(vals_b.pose_t),
+                                   np.asarray(res_d.values.pose_t),
+                                   atol=1e-8)
+
+    def test_direct_superblock_padding(self):
+        """Pose count not a multiple of the superblock size: the padded
+        trailing superblock must not perturb the solution."""
+        graph, values, _ = make_sphere_graph(n_poses=37, edges_per_pose=2.5,
+                                             seed=3, dtype=jnp.float64,
+                                             bucket=4)
+        W = band_halfwidth(graph)
+        _, err_b = banded_direct_gn_optimize(
+            graph, values, iterations=5, band_w=W, super_s=W + 3,
+            damping=1e-6)
+        res_d = gn_optimize(graph, values, iterations=5, solver="dense",
+                            damping=1e-6)
+        assert abs(float(err_b) - float(res_d.error)) \
+            <= 1e-9 * max(float(res_d.error), 1e-9)
+
+    def test_direct_rejects_small_superblock(self):
+        graph, values, _ = make_sphere_graph(n_poses=30, edges_per_pose=2.0,
+                                             seed=2, dtype=jnp.float64,
+                                             bucket=4)
+        with pytest.raises(ValueError, match="super_s"):
+            banded_direct_gn_optimize(graph, values, iterations=1,
+                                      band_w=12, super_s=4)
 
     def test_wider_band_is_harmless(self):
         graph, values, _ = make_sphere_graph(n_poses=40, edges_per_pose=2.5,

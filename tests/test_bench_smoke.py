@@ -75,3 +75,9 @@ def test_ba_schur_path(monkeypatch):
     out = bench.bench_ba_schur()
     assert out["value"] > 0
     assert out["chi2_pcg"] < 0.5 * out["chi2_0"]
+
+
+def test_banded_direct_path():
+    out = bench.bench_banded_direct()
+    assert out["value"] > 0
+    assert out["chi2"] >= 0
