@@ -228,17 +228,41 @@ def make_vio_plane_scenario(n_frames: int = 200, per: int = 20,
                        predict_navstate, vn100_params)
     from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
 
+    from ..core import so3
+
     K = SR4000
     params = vn100_params()
     dt = 1.0 / 200.0
     n_meas = n_frames * per + 10
     r = np.random.default_rng(seed)
-    acc = (r.normal(size=(n_meas, 3)) * motion
-           - np.asarray(params.gravity))
-    gyr = r.normal(size=(n_meas, 3)) * motion
+    gyr = r.normal(size=(n_meas, 3)) * (motion * 0.25)
+    drive = r.normal(size=(n_meas, 3)) * motion
     for k in range(1, n_meas):
-        acc[k] = 0.9 * acc[k - 1] + 0.1 * acc[k]
         gyr[k] = 0.9 * gyr[k - 1] + 0.1 * gyr[k]
+        drive[k] = 0.9 * drive[k - 1] + 0.1 * drive[k]
+
+    # gravity-CONSISTENT accelerometer: rotate gravity into the current
+    # body frame and drive a mean-reverting world velocity, so the
+    # trajectory stays room-scale and the specific force matches the
+    # integrated attitude (a fixed body-frame -g with a rotating body
+    # leaves unbounded uncompensated acceleration)
+    @jax.jit
+    def gen_acc(gyr_all, drive_all):
+        g_w = jnp.asarray(params.gravity)
+
+        def step(carry, x):
+            R, v = carry
+            g_, w_ = x
+            Rn = R @ so3.expmap(g_ * dt)
+            v_new = 0.999 * v + w_ * dt
+            a_w = (v_new - v) / dt
+            return (Rn, v_new), Rn.T @ (a_w - g_w)
+
+        (_, _), accs = jax.lax.scan(step, (jnp.eye(3), jnp.zeros(3)),
+                                    (gyr_all, drive_all))
+        return accs
+
+    acc = np.asarray(gen_acc(jnp.asarray(gyr), jnp.asarray(drive)))
     stream = ImuStream(t=np.arange(n_meas) * dt, acc=acc, gyr=gyr, dt=dt)
 
     @jax.jit

@@ -224,6 +224,13 @@ class _OnlineVioGraph:
                                  _sqrt_info(3, **noise))
 
 
+@jax.jit
+def _transform_plane_covs_batch(planes, covs, pose):
+    """All of a detection's camera->body projections in one dispatch."""
+    return jax.vmap(lambda p, c: transform_plane_cov(p, c, pose))(planes,
+                                                                  covs)
+
+
 class _PlaneStack:
     """Host-side plane bookkeeping shared by the online and scan engines.
 
@@ -241,6 +248,7 @@ class _PlaneStack:
         self.K = intrinsics
         self.u2c = u2c                     # None = identity (skip conj)
         self.u2c_j = u2c if u2c is not None else se3.identity()
+        self._u2c_inv = se3.inverse(self.u2c_j)   # cached, not per-obs
         self.frames = frames
         self.provider = provider
         self.book = PlaneLandmarkBook(lookback=params.lookback_nodes)
@@ -253,19 +261,32 @@ class _PlaneStack:
         return sub
 
     def insert_plane_obs(self, gid, pose_body: se3.Pose, plane_cam, cov3,
-                         lid: int = -1, trace_extra: float = 0.0) -> int:
+                         lid: int = -1, trace_extra: float = 0.0,
+                         pre=None) -> int:
         """Camera-frame plane observation -> landmark id + plane factor.
 
         ``lid >= 0`` skips geometric association (the id was carried by
         plane propagation); returns the landmark id or -1 when the
         observation is rejected by the trace gate (addPlaneFactor,
-        gtsam_graph.cpp:1196-1233).
+        gtsam_graph.cpp:1196-1233). ``pre`` optionally supplies the
+        already-transformed (plane_body, cov_body) pair (the batched
+        per-detection path).
         """
-        plane_cam = jnp.asarray(plane_cam)
         cov3 = np.asarray(cov3)
-        # camera -> body frame with tangent-Jacobian cov projection
-        pb, cb = transform_plane_cov(plane_cam, jnp.asarray(cov3),
-                                     se3.inverse(self.u2c_j))
+        if pre is not None:
+            pb, cb = pre
+        else:
+            # camera -> body frame with tangent-Jacobian cov projection
+            pb, cb = transform_plane_cov(jnp.asarray(plane_cam),
+                                         jnp.asarray(cov3),
+                                         self._u2c_inv)
+        # NaN observation guard (the reference drops NaN-information
+        # edges, gtsam_graph.cpp:1699,1742): an f32 degenerate refit can
+        # produce a non-finite plane/covariance — one poisoned row would
+        # NaN the whole graph chi2
+        if not (np.isfinite(np.asarray(pb)).all()
+                and np.isfinite(np.asarray(cb)).all()):
+            return -1
         trace_snv = float(np.trace(cov3[:2, :2])) + trace_extra
         carried = lid >= 0
         if not carried:
@@ -297,12 +318,19 @@ class _PlaneStack:
         """Add factors for a PlaneNodeDetection, associating unassigned
         planes and writing the resolved landmark ids back (the driver's
         addPlaneFactor / planeNodeAssociation split,
-        test_vro_imu_graph.cpp:256-283)."""
+        test_vro_imu_graph.cpp:256-283). The camera->body covariance
+        projections of the whole detection run as ONE vmapped dispatch."""
+        if not len(det):
+            return
+        pbs, cbs = _transform_plane_covs_batch(
+            jnp.asarray(det.params), jnp.asarray(det.cov), self._u2c_inv)
+        pbs, cbs = np.asarray(pbs), np.asarray(cbs)
         for p in range(len(det)):
             lid = int(det.landmark_ids[p])
             got = self.insert_plane_obs(gid, pose_body, det.params[p],
                                         det.cov[p], lid=lid,
-                                        trace_extra=trace_extra)
+                                        trace_extra=trace_extra,
+                                        pre=(pbs[p], cbs[p]))
             if got >= 0:
                 det.landmark_ids[p] = got
 
@@ -891,7 +919,7 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     def chunk_len(remaining: int) -> int:
         if remaining >= CH:
             return CH
-        p = 64
+        p = 16
         while p < remaining:
             p <<= 1
         return min(p, CH)

@@ -57,11 +57,14 @@ def _transform_jacobian(plane, R, t):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+@jax.jit
 def transform_plane_cov(plane, cov3, pose: se3.Pose):
     """Push a plane + its (2+1) tangent covariance through a pose.
 
     The addPlaneFactor projection ``S_upj = J S_upi J^T``
     (gtsam_graph.cpp:1162) with J computed by autodiff on the chart.
+    Jitted whole: the rescue host step calls it per observation, and the
+    eager form costs ~8 dispatches per plane on remote-attached backends.
     """
     J = _transform_jacobian(plane, pose.R, pose.t)
     out = oriented_plane.transform(plane, pose.R, pose.t)

@@ -110,9 +110,18 @@ def _tangent_to_nv_cov(plane, cov3):
 
     The reference stores the normal covariance and distance variance
     separately on CPlane (``getNVCov`` / ``m_E_Sdi``, gtsam_graph.cpp:905-911);
-    the tangent chart version maps back through the Unit3 basis.
+    the tangent chart version maps back through the Unit3 basis. Pure
+    NumPy (GTSAM Unit3::basis axis selection, matching
+    ``oriented_plane.basis``): runs per plane in the rescue host step,
+    where eager device dispatches dominate on remote-attached backends.
     """
-    B = np.asarray(oriented_plane.basis(jnp.asarray(plane[:3])))
+    n = np.asarray(plane[:3], np.float64)
+    ax, ay, az = abs(n[0]), abs(n[1]), abs(n[2])
+    axis = np.array([1.0, 0.0, 0.0]) if (az >= ax and az >= ay) \
+        else np.array([0.0, 0.0, 1.0])
+    b1 = np.cross(n, axis)
+    b1 = b1 / np.linalg.norm(b1)
+    B = np.stack([b1, np.cross(n, b1)], axis=-1)
     S_n = B @ np.asarray(cov3)[:2, :2] @ B.T
     S_d = float(cov3[2, 2])
     return S_n, S_d
