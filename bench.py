@@ -496,7 +496,7 @@ SECONDARY = {
 
 
 def _run_secondary(name: str, timeout: float = 1200):
-    if timeout < 60:
+    if timeout < 240:
         return {"skipped": "bench time budget"}
     env = dict(os.environ)
     here = os.path.dirname(os.path.abspath(__file__))
@@ -570,10 +570,10 @@ def main():
     # before the floor probes
     t_budget = time.perf_counter()
     total_budget = 1800.0
-    for name in ("vio_planes", "ba_schur", "vio_replay", "vio_27k",
+    for name in ("vio_planes", "vio_27k", "ba_schur", "vio_replay",
                  "banded_direct", "amortized"):
         remaining = total_budget - (time.perf_counter() - t_budget)
-        if remaining < 60:
+        if remaining < 240:      # a tunnel secondary can't finish in less
             extra[name] = {"skipped": "bench time budget"}
             continue
         extra[name] = _run_secondary(name, timeout=min(900, remaining))
