@@ -180,6 +180,42 @@ class TestCliEndToEnd:
         traj = read_trajectory(str(tmp_path / "out" / "trajectory.log"))
         assert len(traj.ids) == len(X)
 
+    def test_vio_scan_engine_with_frames(self, tmp_path):
+        """The fused flagship through the CLI: `vio --engine scan
+        --frames` routes the plane rescue into the segmented scan engine
+        (plane-mode defaults to 'rescue' with frames)."""
+        from test_plane_node import simulate_frames
+
+        log, img_times, stream, params, X, frames = simulate_frames()
+        frames_dir = tmp_path / "frames"
+        store = FrameStore(str(frames_dir))
+        for seq, (inten, depth) in frames.items():
+            store.save(seq, inten, depth)
+        vro = str(tmp_path / "vro.log")
+        from graph_slam_tpu.io import write_vro_log
+
+        write_vro_log(vro, log)
+        imu_path = str(tmp_path / "imu_v100.log")
+        rows = np.concatenate(
+            [stream.t[:, None], stream.acc, stream.gyr,
+             np.zeros((len(stream.t), 3))], axis=1)
+        np.savetxt(imu_path, rows)
+        times_path = str(tmp_path / "timestamp.log")
+        with open(times_path, "w") as f:
+            for seq, t in img_times.items():
+                f.write(f"{seq} {t}\n")
+
+        stdout = run_cli("vio", "--vro", vro, "--imu", imu_path,
+                         "--times", times_path, "--engine", "scan",
+                         "--frames", str(frames_dir),
+                         "--extrinsic", "identity",
+                         "--out-dir", str(tmp_path / "out"))
+        assert "plane=" in stdout
+        n_planes = int(stdout.split("plane=")[1].split(")")[0])
+        assert n_planes >= 2
+        traj = read_trajectory(str(tmp_path / "out" / "trajectory.log"))
+        assert len(traj.ids) == len(X)
+
     def test_g2o(self, scenario, tmp_path):
         stdout = run_cli("g2o", "--input",
                          os.path.join(GOLDENS, "sphere200_noisy.g2o"),
