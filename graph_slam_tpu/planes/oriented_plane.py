@@ -91,14 +91,21 @@ def local(plane_a, plane_b):
     na, nb = a[..., :3], b[..., :3]
     B = basis(na)
     cos_t = jnp.clip(jnp.sum(na * nb, axis=-1), -1.0, 1.0)
-    theta = jnp.arccos(jnp.where(jnp.abs(cos_t) > 1.0 - 1e-12, jnp.sign(cos_t) * (1.0 - 1e-12), cos_t))
     # component of nb orthogonal to na; the squared-norm double-where keeps
     # the derivative of ||perp|| finite at perp = 0 (coincident normals
     # round to cos_t == 1 exactly in f32, where sqrt'(0) would NaN)
     perp = nb - cos_t[..., None] * na
     pn2 = jnp.sum(perp * perp, axis=-1)
-    pn = jnp.sqrt(jnp.where(pn2 > 1e-24, pn2, 1.0))
-    scale = jnp.where(pn2 > 1e-24, theta / pn, 1.0)
+    tiny = jnp.finfo(cos_t.dtype).tiny ** 0.5
+    pn = jnp.sqrt(jnp.where(pn2 > tiny, pn2, 1.0))
+    pn_safe = jnp.where(pn2 > tiny, pn, 0.0)
+    # angle via atan2(||perp||, cos), NOT arccos(cos): arccos' blows up at
+    # |cos| == 1 and jacfwd evaluates it there for every re-observed
+    # landmark with coincident normals (in f32 a constant clamp margin
+    # like 1 - 1e-12 rounds to exactly 1.0, NaNing the whole plane-factor
+    # Jacobian); atan2 is exact at coincidence with finite partials
+    theta = jnp.arctan2(pn_safe, cos_t)
+    scale = jnp.where(pn2 > tiny, theta / pn, 1.0)
     w = scale[..., None] * perp
     v = jnp.einsum("...ij,...i->...j", B, w)
     return jnp.concatenate([v, (b[..., 3] - a[..., 3])[..., None]], axis=-1)
