@@ -351,6 +351,7 @@ def bench_vio_planes(n_frames: int = 200, fail_every: int = 20):
             "n_rescue_frames": int(n_rescue),
             "n_plane_factors": int(res.n_plane_factors),
             "chi2": res.error,
+            "phase_timers": res.timers,
             "host_stepped_online_fps": round(online_fps, 2),
             "speedup_vs_host_stepped": round(fps / online_fps, 1)}
 
@@ -578,10 +579,16 @@ def main():
             continue
         extra[name] = _run_secondary(name, timeout=min(900, remaining))
     extra["solver_comparison_notes"] = (
-        "scatter-PCG default; gather 26.5 it/s, banded 45.6 it/s at the "
-        "old 50-iters/call convention; ~180 ms/call relay overhead, "
-        "~0.05 ms/iter device time — see bench.py comments; re-run via "
-        "--single gather_pcg|banded|dispatch|amortized")
+        "scatter-PCG default; gather 26.5 it/s, banded-CG 45.6 it/s at "
+        "the old 50-iters/call convention; banded DIRECT (superblock "
+        "block-Thomas, EXACT steps) measured 26.1 it/s needing only 2 "
+        "iterations to 0.1x chi2 (2026-08-17) — per-solution wall time "
+        "still favors scatter-PCG (~1000 approximate it/s beats 26 exact "
+        "it/s at these problem sizes), so it stays default; bf16 "
+        "matmuls on BA measured 6.8x worse final chi2 (see ba_schur."
+        "bf16_chi2_rel_delta) — full precision stays default; ~180 "
+        "ms/call relay overhead, ~0.05 ms/iter device time; re-run via "
+        "--single gather_pcg|banded|banded_direct|dispatch|amortized")
 
     print(json.dumps({
         "metric": f"GN iterations/sec on sphere{N_POSES} SE(3) pose graph "

@@ -93,6 +93,19 @@ def _append_plane_factor(tb, slot, pose_idx, plane_idx, meas, sqrt_info):
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_plane_factors(tb, slots, pose_idx, plane_idx, meas, sqrt_info):
+    """K rows in one program (the rescue step writes a whole detection's
+    factors at once; per-row appends cost one dispatch each)."""
+    return tb._replace(
+        pose_idx=tb.pose_idx.at[slots].set(pose_idx),
+        plane_idx=tb.plane_idx.at[slots].set(plane_idx),
+        meas=tb.meas.at[slots].set(meas),
+        sqrt_info=tb.sqrt_info.at[slots].set(sqrt_info),
+        active=tb.active.at[slots].set(True),
+    )
+
+
 def imu_row(tb, slot, i, j, dR, dp, dv, H_R_bg, H_p_ba,
             H_p_bg, H_v_ba, H_v_bg, bias_hat, dt, gravity, cov,
             active=True):
@@ -262,6 +275,28 @@ class OnlineGraph:
             self.graph.plane, jnp.asarray(s), jnp.asarray(pose_idx),
             jnp.asarray(plane_idx), jnp.asarray(m, dt),
             jnp.asarray(sqrt_info, dt))
+        self.graph = self.graph._replace(plane=tb)
+
+    def add_plane_factors(self, pose_idx, plane_idx, meas, sqrt_info):
+        """Append K plane-factor rows in one jitted write."""
+        k = len(pose_idx)
+        if k == 0:
+            return
+        cap = self.graph.plane.pose_idx.shape[0]
+        s0 = self._n["plane"]
+        if s0 + k > cap:
+            raise RuntimeError(
+                f"factor arena 'plane' full ({cap}); rebuild with larger "
+                "capacity")
+        self._n["plane"] = s0 + k
+        dt = self.values.pose_t.dtype
+        m = np.asarray(meas, np.float64)
+        m = m / np.linalg.norm(m[:, :3], axis=1, keepdims=True)
+        tb = _append_plane_factors(
+            self.graph.plane, jnp.arange(s0, s0 + k),
+            jnp.asarray(np.asarray(pose_idx, np.int32)),
+            jnp.asarray(np.asarray(plane_idx, np.int32)),
+            jnp.asarray(m, dt), jnp.asarray(np.asarray(sqrt_info), dt))
         self.graph = self.graph._replace(plane=tb)
 
     def add_imu_factor(self, i, j, preint, gravity):

@@ -53,6 +53,7 @@ from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
 from ..planes import (
     PlaneLandmarkBook,
     extract_plane_node,
+    extract_plane_nodes_batch,
     inflate_if_uncertain,
     predict_plane_node,
     repair_plane_cov,
@@ -82,9 +83,11 @@ class VioConfig:
     # "online"  — preallocated OnlineGraph arenas + jitted row appenders; no
     #             host rebuilds, the optimizer never recompiles mid-run (the
     #             ISAM2-role execution model, gtsam_graph.cpp:1768-1776)
-    # "scan"    — the WHOLE replay as one compiled lax.scan program (one
-    #             device dispatch total): plane-free sequential replays,
-    #             compact fixed-lag optimization + feedback on schedule
+    # "scan"    — the replay as chunked compiled lax.scan programs:
+    #             compact fixed-lag optimization + feedback on schedule;
+    #             plane_mode="rescue" splits segments at host-known
+    #             failures with one host step (fused kernel + batched
+    #             plane stack) per rescue
     # "rebuild" — host-side GraphBuilder rebuild per optimize step (the
     #             round-1 behavior, kept for cross-checking)
     engine: str = "online"
@@ -223,6 +226,13 @@ class _OnlineVioGraph:
         self.og.add_plane_factor(pose_idx, plane_idx, meas,
                                  _sqrt_info(3, **noise))
 
+    def add_plane_factors_batch(self, pose_idx, plane_idx, meas, sqrt_info):
+        cap = self.og.graph.plane.pose_idx.shape[0]
+        if self.og._n["plane"] + len(pose_idx) > cap:
+            self.og.grow(factor_caps={
+                "plane": max(64, 2 * cap, cap + len(pose_idx))})
+        self.og.add_plane_factors(pose_idx, plane_idx, meas, sqrt_info)
+
 
 @jax.jit
 def _transform_plane_covs_batch(planes, covs, pose):
@@ -253,24 +263,33 @@ class _PlaneStack:
         self.provider = provider
         self.book = PlaneLandmarkBook(lookback=params.lookback_nodes)
         self.plane_nodes: dict[int, object] = {}  # gid -> detection | None
+        self.pending: dict[int, object] = {}      # pre-extracted, no factors
         self.n_plane = 0
         self._rng = jax.random.PRNGKey(cfg.seed)
+        self._base_key = jax.random.PRNGKey(cfg.seed)
 
     def _next_key(self):
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def _extract_key(self, seq):
+        """Per-frame extraction key derived from the SEQUENCE id (not the
+        call order), so batched pre-extraction and the sequential path
+        produce identical detections — engine parity depends on it."""
+        return jax.random.fold_in(self._base_key, int(seq))
+
     def insert_plane_obs(self, gid, pose_body: se3.Pose, plane_cam, cov3,
                          lid: int = -1, trace_extra: float = 0.0,
-                         pre=None) -> int:
+                         pre=None, buffer=None) -> int:
         """Camera-frame plane observation -> landmark id + plane factor.
 
         ``lid >= 0`` skips geometric association (the id was carried by
         plane propagation); returns the landmark id or -1 when the
         observation is rejected by the trace gate (addPlaneFactor,
         gtsam_graph.cpp:1196-1233). ``pre`` optionally supplies the
-        already-transformed (plane_body, cov_body) pair (the batched
-        per-detection path).
+        already-transformed (plane_body, cov_body) pair; a ``buffer``
+        collects the accepted factor row instead of writing it (the
+        batched per-detection flush).
         """
         cov3 = np.asarray(cov3)
         if pre is not None:
@@ -303,7 +322,11 @@ class _PlaneStack:
         S = repair_plane_cov(cb)
         if is_new and len(self.b._planes) <= lid:
             self.b.add_plane(self.book.world[lid])
-        self.b.add_plane_factor(gid, lid, np.asarray(pb), covariance=S)
+        if buffer is not None:
+            buffer.append((gid, lid, np.asarray(pb),
+                           _sqrt_info(3, covariance=S)))
+        else:
+            self.b.add_plane_factor(gid, lid, np.asarray(pb), covariance=S)
         self.n_plane += 1
         return lid
 
@@ -325,32 +348,80 @@ class _PlaneStack:
         pbs, cbs = _transform_plane_covs_batch(
             jnp.asarray(det.params), jnp.asarray(det.cov), self._u2c_inv)
         pbs, cbs = np.asarray(pbs), np.asarray(cbs)
+        rows: list = []
         for p in range(len(det)):
             lid = int(det.landmark_ids[p])
             got = self.insert_plane_obs(gid, pose_body, det.params[p],
                                         det.cov[p], lid=lid,
                                         trace_extra=trace_extra,
-                                        pre=(pbs[p], cbs[p]))
+                                        pre=(pbs[p], cbs[p]), buffer=rows)
             if got >= 0:
                 det.landmark_ids[p] = got
+        self._flush_rows(rows)
+
+    def _flush_rows(self, rows) -> None:
+        """Write buffered factor rows — one batched append when the
+        writer supports it, else per-row."""
+        if not rows:
+            return
+        batch = getattr(self.b, "add_plane_factors_batch", None)
+        if batch is not None:
+            batch(np.asarray([r[0] for r in rows], np.int32),
+                  np.asarray([r[1] for r in rows], np.int32),
+                  np.stack([r[2] for r in rows]),
+                  np.stack([r[3] for r in rows]))
+        else:
+            for (gid, lid, pb, S) in rows:
+                self.b.add_plane_factor(gid, lid, pb, sqrt_info=S)
+
+    def precompute_detections(self, gid2seq: dict) -> None:
+        """Batch-extract fresh plane sets for nodes known upfront to be
+        rescue sources (the scan engine's segment split): ONE vmapped
+        extraction dispatch instead of one per rescue step. Factors are
+        NOT inserted here — the node's estimated pose isn't known yet;
+        ``plane_node_for`` consumes the pending detection at rescue time.
+        """
+        if self.frames is None:
+            return
+        items = []
+        for gid, seq in sorted(gid2seq.items()):
+            if gid in self.plane_nodes or gid in self.pending:
+                continue
+            fr = self.frames(seq)
+            if fr is not None:
+                items.append((gid, seq, fr[1]))
+        if not items:
+            return
+        dets = extract_plane_nodes_batch(
+            [self._extract_key(seq) for _, seq, _ in items],
+            self.K, [d for _, _, d in items],
+            max_planes=self.cfg.max_planes,
+            min_support=self.cfg.min_plane_support)
+        for (gid, _, _), det in zip(items, dets):
+            if det is not None:
+                self.pending[gid] = det
 
     def _extract(self, seq):
         fr = self.frames(seq)
         if fr is None:
             return None
         return extract_plane_node(
-            self._next_key(), self.K, fr[0], fr[1],
+            self._extract_key(seq), self.K, fr[0], fr[1],
             max_planes=self.cfg.max_planes,
             min_support=self.cfg.min_plane_support)
 
     def plane_node_for(self, gid, pose_body: se3.Pose, seq,
                        trace_extra: float = 0.0):
         """Node ``gid``'s plane set, lazily extracted from its frame when
-        the node carried none (test_vro_imu_graph.cpp:218-233)."""
+        the node carried none (test_vro_imu_graph.cpp:218-233); a pending
+        pre-extracted detection (``precompute_detections``) is consumed
+        instead of re-extracting."""
         det = self.plane_nodes.get(gid)
         if det is not None or self.frames is None:
             return det
-        det = self._extract(seq)
+        det = self.pending.pop(gid, None)
+        if det is None:
+            det = self._extract(seq)
         if det is not None:
             self.insert_detection(gid, pose_body, det, trace_extra)
             self.plane_nodes[gid] = det
@@ -664,6 +735,13 @@ class _ScanPlaneWriter:
         self.og.add_plane_factor(pose_idx, plane_idx, meas,
                                  _sqrt_info(3, **noise))
 
+    def add_plane_factors_batch(self, pose_idx, plane_idx, meas, sqrt_info):
+        cap = self.og.graph.plane.pose_idx.shape[0]
+        if self.og._n["plane"] + len(pose_idx) > cap:
+            self.og.grow(factor_caps={
+                "plane": max(64, 2 * cap, cap + len(pose_idx))})
+        self.og.add_plane_factors(pose_idx, plane_idx, meas, sqrt_info)
+
 
 def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
                   imu_params: ImuParams, u2c, params: SlamParams,
@@ -901,6 +979,14 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
     n_rec = len(rows)
     del rows   # drop the per-record dicts (dominant transient: IMU windows)
 
+    if stack is not None and frames is not None and host_idx:
+        # every rescue's plane SOURCE is the previous frame (gj - 1),
+        # host-known upfront: batch all their fresh extractions into one
+        # vmapped dispatch instead of one extraction per rescue step
+        stack.precompute_detections({
+            int(xs_np["gj"][i]) - 1: seq_ids[int(xs_np["gj"][i]) - 1]
+            for i in host_idx})
+
     noop = dict(
         is_new=False, failed=True, edge_valid=False, gi=0, gi_imu=0, gj=0,
         bt_slot=dummy_bt, imu_slot=dummy_slot, last_gj=0, do_opt=False,
@@ -1082,7 +1168,6 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
     t_of = img_times.__getitem__ if hasattr(img_times, "__getitem__") \
         else img_times
     gravity = np.asarray(imu_params.gravity)
-    u2c_j = u2c if u2c is not None else se3.identity()
     u2c_arg = u2c  # None means identity; predict_plane_node skips conjugation
     if frames is not None and intrinsics is None:
         raise ValueError("frames mode requires camera intrinsics")

@@ -9,6 +9,7 @@ from .extraction import PlaneDetection, extract_planes, fit_plane_lsq
 from .plane_node import (
     PlaneNodeDetection,
     extract_plane_node,
+    extract_plane_nodes_batch,
     predict_plane_node,
 )
 from .propagation import PropagationResult, propagate_plane, propagate_planes
@@ -19,7 +20,8 @@ __all__ = [
     "PlaneLandmarkBook", "match_plane", "plane_to_world",
     "transform_plane_cov",
     "PlaneDetection", "extract_planes", "fit_plane_lsq",
-    "PlaneNodeDetection", "extract_plane_node", "predict_plane_node",
+    "PlaneNodeDetection", "extract_plane_node",
+    "extract_plane_nodes_batch", "predict_plane_node",
     "PropagationResult", "propagate_plane", "propagate_planes",
     "repair_plane_cov", "inflate_if_uncertain",
 ]

@@ -36,7 +36,8 @@ from . import oriented_plane
 from .extraction import extract_planes
 from .propagation import propagate_planes
 
-__all__ = ["PlaneNodeDetection", "extract_plane_node", "predict_plane_node"]
+__all__ = ["PlaneNodeDetection", "extract_plane_node",
+           "extract_plane_nodes_batch", "predict_plane_node"]
 
 
 @dataclasses.dataclass
@@ -103,6 +104,55 @@ def extract_plane_node(key, K: CameraIntrinsics, intensity, depth,
         counts=np.asarray(det.count)[sel],
         landmark_ids=np.full(len(sel), -1, np.int64),
     )
+
+
+@partial(jax.jit, static_argnames=("K", "max_planes", "n_hyp"))
+def _extract_frames_batch(K: CameraIntrinsics, keys, depths,
+                          max_planes: int, n_hyp: int, dist_thresh,
+                          min_support, sigma_z, z_min, z_max):
+    def one(key, depth):
+        pts, valid = _backproject_frame(K, depth, z_min, z_max)
+        return extract_planes(key, pts, valid, max_planes=max_planes,
+                              n_hyp=n_hyp, dist_thresh=dist_thresh,
+                              min_support=min_support, sigma_z=sigma_z)
+
+    return jax.vmap(one)(keys, depths)
+
+
+def extract_plane_nodes_batch(keys, K: CameraIntrinsics, depths,
+                              max_planes: int = 4, min_support: int = 300,
+                              dist_thresh: float = 0.02,
+                              sigma_z: float = 0.014, z_min: float = 0.1,
+                              z_max: float = 5.0):
+    """Fresh plane segmentation of MANY frames in ONE device program.
+
+    The scan engine's rescue sources are host-known upfront, so their
+    extractions batch into a single vmapped dispatch instead of one per
+    rescue step. Returns a list of ``PlaneNodeDetection | None`` matching
+    ``extract_plane_node``'s per-frame filtering.
+    """
+    depths_j = jnp.asarray(np.stack([np.asarray(d) for d in depths]))
+    h, w = depths_j.shape[1:]
+    det = _extract_frames_batch(K, jnp.stack(keys), depths_j, max_planes,
+                                512, dist_thresh, min_support, sigma_z,
+                                z_min, z_max)
+    params = np.asarray(det.params)
+    cov = np.asarray(det.cov)
+    inlier = np.asarray(det.inlier)
+    count = np.asarray(det.count)
+    valid = np.asarray(det.valid)
+    out = []
+    for f in range(depths_j.shape[0]):
+        sel = np.nonzero(valid[f])[0]
+        if not len(sel):
+            out.append(None)
+            continue
+        out.append(PlaneNodeDetection(
+            params=params[f][sel], cov=cov[f][sel],
+            masks=inlier[f][sel].reshape(len(sel), h, w),
+            counts=count[f][sel],
+            landmark_ids=np.full(len(sel), -1, np.int64)))
+    return out
 
 
 def _tangent_to_nv_cov(plane, cov3):
