@@ -450,11 +450,20 @@ def bench_banded_direct():
         if float(ek) < 0.1 * e0:
             conv_iters = k
             break
+    # dense-step FLOPs: K superblocks x (Cholesky n^3/3 + two triangular
+    # solves 2n^3 + Schur matmul 2n^3) on n = 6S operands
+    S = max(W, 32)
+    n = 6 * S
+    K = -(-2560 // S)
+    flops_iter = K * int(4.3 * n ** 3)
     return {"metric": "GN iters/sec, superblock block-Thomas EXACT direct "
                       "solve (banded_direct_gn_optimize)",
             "value": round(iters / dt, 3), "unit": "GN iters/sec",
-            "band_halfwidth": W, "superblock": max(W, 32),
-            "iters_to_0.1x_chi2": conv_iters, "chi2": float(res.error)}
+            "band_halfwidth": W, "superblock": S,
+            "iters_to_0.1x_chi2": conv_iters, "chi2": float(res.error),
+            "flops_per_iter_est": flops_iter,
+            "mfu_pct": round(100.0 * flops_iter * (iters / dt)
+                             / PEAK_F32_FLOPS, 4)}
 
 
 def bench_banded():
