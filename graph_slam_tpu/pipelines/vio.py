@@ -1200,9 +1200,14 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
     else:
         b = GraphBuilder()
         inc = None
+    # the plane stack needs an observation SOURCE; plane_mode="rescue"
+    # with neither frames nor a provider is inert, and treating it as
+    # plane-free keeps the fused per-frame fast path available
     stack = _PlaneStack(b, cfg, params, intrinsics, u2c_arg, frames,
                         plane_obs_provider) \
-        if cfg.plane_mode != "off" else None
+        if cfg.plane_mode != "off" and (frames is not None
+                                        or plane_obs_provider is not None) \
+        else None
     book = stack.book if stack is not None else None
 
     seq2graph: dict[int, int] = {}
