@@ -290,7 +290,8 @@ def bench_vio_replay(n_frames: int = 500):
             "chi2": res.error}
 
 
-def bench_vio_planes(n_frames: int = 200, fail_every: int = 20):
+def bench_vio_planes(n_frames: int = 200, fail_every: int = 20,
+                     lazy: bool = False):
     """Flagship PLANE-RESCUE VIO throughput (the fused scan engine).
 
     The workload is the reference's defining capability: an IMU+VO replay
@@ -309,7 +310,9 @@ def bench_vio_planes(n_frames: int = 200, fail_every: int = 20):
     from graph_slam_tpu.pipelines.vio import VioConfig, run_vio
 
     log, times, stream, params, frames, K = make_vio_plane_scenario(
-        n_frames=n_frames, fail_every=fail_every)
+        n_frames=n_frames, fail_every=fail_every,
+        render="lazy" if lazy else True)
+    frames_fn = frames.get if isinstance(frames, dict) else frames
 
     def clone():
         return ImuStream(t=stream.t, acc=stream.acc, gyr=stream.gyr,
@@ -319,13 +322,13 @@ def bench_vio_planes(n_frames: int = 200, fail_every: int = 20):
               bucket=64, window=16, final_batch=False)
     cfg = VioConfig(engine="scan", **kw)
     t0 = time.perf_counter()
-    res = run_vio(log, times, clone(), params, frames=frames.get,
+    res = run_vio(log, times, clone(), params, frames=frames_fn,
                   intrinsics=K, cfg=cfg)
     cold = time.perf_counter() - t0
     n_rescue = sum(1 for k in range(len(log))
                    if log.info[k][0, 0] == 1e4)
     t0 = time.perf_counter()
-    res = run_vio(log, times, clone(), params, frames=frames.get,
+    res = run_vio(log, times, clone(), params, frames=frames_fn,
                   intrinsics=K, cfg=cfg)
     warm = time.perf_counter() - t0
     assert res.n_plane_factors > 0, "rescue did not fire"
@@ -335,10 +338,10 @@ def bench_vio_planes(n_frames: int = 200, fail_every: int = 20):
     sub = VROLog(log.id_to[:n_sub - 1], log.id_from[:n_sub - 1],
                  log.xi[:n_sub - 1], log.info[:n_sub - 1])
     cfg_on = VioConfig(engine="online", **kw)
-    run_vio(sub, times, clone(), params, frames=frames.get,
+    run_vio(sub, times, clone(), params, frames=frames_fn,
             intrinsics=K, cfg=cfg_on)       # warm the compiles
     t0 = time.perf_counter()
-    res_on = run_vio(sub, times, clone(), params, frames=frames.get,
+    res_on = run_vio(sub, times, clone(), params, frames=frames_fn,
                      intrinsics=K, cfg=cfg_on)
     online_fps = n_sub / (time.perf_counter() - t0)
 
@@ -494,6 +497,12 @@ SECONDARY = {
     "ba_schur": bench_ba_schur,
     "vio_replay": bench_vio_replay,
     "vio_planes": bench_vio_planes,
+    # the reference's FULL frame budget WITH plane rescue active (1%
+    # failure rate, lazy frame rendering) — the definitive flagship
+    # artifact; too long for the default captured set, run via
+    # `python bench.py --single vio_planes_27k`
+    "vio_planes_27k": lambda: bench_vio_planes(n_frames=27000,
+                                               fail_every=100, lazy=True),
     # the reference's full frame budget (gtsam_imuVN100_go.launch:13) as
     # chunked scan dispatches sharing one compilation
     "vio_27k": lambda: bench_vio_replay(n_frames=27000),

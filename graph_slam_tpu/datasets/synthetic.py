@@ -289,7 +289,22 @@ def make_vio_plane_scenario(n_frames: int = 200, per: int = 20,
     scene = [(np.array([0.0, 0.0, 1.0, -4.0]), 150.0),
              (np.array([0.0, 1.0, 0.0, -0.8]), 80.0)]
     frames = None
-    if render:
+    if render == "lazy":
+        # render on demand with a small cache: the rescue engine touches
+        # only the failure frames and their predecessors, so a 27k-frame
+        # run renders ~2 frames per rescue instead of 27k upfront
+        cache: dict = {}
+
+        def frames(f):
+            if not (0 <= f < n_frames):
+                return None
+            if f not in cache:
+                if len(cache) > 128:
+                    cache.clear()
+                cache[f] = _render_plane_frame(K, Rs[f], ts[f], scene,
+                                               noise=noise, seed=seed + f)
+            return cache[f]
+    elif render:
         frames = {f: _render_plane_frame(K, Rs[f], ts[f], scene,
                                          noise=noise, seed=seed + f)
                   for f in range(n_frames)}
