@@ -593,7 +593,8 @@ def main():
     est_s = {"vio_planes": 650, "vio_27k": 450, "ba_schur": 450,
              "banded_direct": 280, "amortized": 280}
     t_budget = time.perf_counter()
-    total_budget = 1800.0
+    total_budget = 2200.0     # ~45 min total with the headline (the r2
+    #                           driver capture ran comparably long)
     for name in ("vio_planes", "vio_27k", "ba_schur", "banded_direct",
                  "amortized"):
         remaining = total_budget - (time.perf_counter() - t_budget)
