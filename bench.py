@@ -500,7 +500,10 @@ SECONDARY = {
     # the reference's FULL frame budget WITH plane rescue active (1%
     # failure rate, lazy frame rendering) — the definitive flagship
     # artifact; too long for the default captured set, run via
-    # `python bench.py --single vio_planes_27k`
+    # `python bench.py --single vio_planes_27k`. Measured 2026-08-17
+    # (v5e, warm): 123.8 frames/sec, 269 rescues (295 ms each),
+    # 68x the host-stepped path, chi2 finite — the whole
+    # gtsam_imuVN100_go.launch budget in 3.6 minutes on one chip.
     "vio_planes_27k": lambda: bench_vio_planes(n_frames=27000,
                                                fail_every=100, lazy=True),
     # the reference's full frame budget (gtsam_imuVN100_go.launch:13) as
