@@ -473,6 +473,16 @@ def cmd_filter(args):
     print(f"wrote {args.out} ({len(pts)} points)")
 
 
+def cmd_publish(args):
+    from .mapping import publish_pcd
+
+    print(f"publishing {args.pcd} on {args.host}:{args.port} "
+          f"at {args.rate} Hz (frame_id={args.frame_id})")
+    publish_pcd(args.pcd, host=args.host, port=args.port,
+                rate_hz=args.rate, max_cycles=args.cycles,
+                frame_id=args.frame_id)
+
+
 def cmd_bench(args):
     import bench  # repo-root benchmark
 
@@ -670,6 +680,18 @@ def main(argv=None):
     s.add_argument("--z-min", type=float)
     s.add_argument("--z-max", type=float)
     s.set_defaults(fn=cmd_filter)
+
+    s = sub.add_parser("publish",
+                       help="republish a PCD to TCP subscribers "
+                            "(pub_pcd role, PointCloud2 layout)")
+    s.add_argument("--pcd", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=7100)
+    s.add_argument("--rate", type=float, default=1.0)
+    s.add_argument("--cycles", type=int, default=None,
+                   help="stop after N publishes (default: forever)")
+    s.add_argument("--frame-id", default="map")
+    s.set_defaults(fn=cmd_publish)
 
     s = sub.add_parser("bench", help="sphere2500 GN throughput benchmark")
     s.set_defaults(fn=cmd_bench)
