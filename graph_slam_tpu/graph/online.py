@@ -153,6 +153,13 @@ def _set_vec(arr, num, idx, v, bump):
             jnp.maximum(num, idx.astype(jnp.int32) + bump))
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _set_vec_batch(arr, num, idx, v, bump):
+    """Batched _set_vec: many value rows in one device write."""
+    return (arr.at[idx].set(v),
+            jnp.maximum(num, jnp.max(idx).astype(jnp.int32) + bump))
+
+
 class OnlineGraph:
     """Mutable facade over the functional arenas with host-side slot counters.
 
@@ -219,6 +226,28 @@ class OnlineGraph:
         self._set_vec_field("plane", "num_planes", idx, p, new)
         if new:
             self.num_planes = max(self.num_planes, idx + 1)
+
+    def set_planes(self, idxs, ps, new: bool = True):
+        """Batched ``set_plane``: many landmark rows in ONE device write
+        (the rescue host step stages its new landmarks and flushes them
+        here — one dispatch instead of one per landmark)."""
+        idxs = np.asarray(idxs, np.int64)
+        if len(idxs) == 0:
+            return
+        cap = self.values.plane.shape[0]
+        if int(idxs.max()) >= cap:
+            raise RuntimeError(
+                f"plane variable arena full ({cap}); grow(plane_var_cap=...)"
+                " or raise VioConfig.plane_var_cap")
+        ps = np.asarray(ps, np.float64)
+        ps = ps / np.linalg.norm(ps[:, :3], axis=1, keepdims=True)
+        dt = self.values.pose_t.dtype
+        arr, num = _set_vec_batch(
+            self.values.plane, self.values.num_planes, jnp.asarray(idxs),
+            jnp.asarray(ps, dt), jnp.asarray(1 if new else 0, jnp.int32))
+        self.values = self.values._replace(plane=arr, num_planes=num)
+        if new:
+            self.num_planes = max(self.num_planes, int(idxs.max()) + 1)
 
     # -- factors ----------------------------------------------------------
     def _slot(self, key: str, cap: int) -> int:

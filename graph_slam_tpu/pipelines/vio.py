@@ -22,6 +22,7 @@ call stack SURVEY.md §3.2):
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Callable, Optional
 
@@ -55,7 +56,8 @@ from ..planes import (
     extract_plane_node,
     extract_plane_nodes_batch,
     inflate_if_uncertain,
-    predict_plane_node,
+    predict_plane_node_finish,
+    predict_plane_node_start,
     repair_plane_cov,
     transform_plane_cov,
 )
@@ -191,6 +193,19 @@ class _OnlineVioGraph:
         self._planes.append(np.asarray(p))
         return lid
 
+    def add_planes_batch(self, ps) -> int:
+        """Append many landmarks with ONE device write (rescue flush)."""
+        ps = [np.asarray(p) for p in ps]
+        if not ps:
+            return self.og.num_planes
+        lid0 = self.og.num_planes
+        cap = self.og.values.plane.shape[0]
+        if lid0 + len(ps) > cap:
+            self.og.grow(plane_var_cap=max(8, 2 * cap, lid0 + len(ps)))
+        self.og.set_planes(np.arange(lid0, lid0 + len(ps)), np.stack(ps))
+        self._planes.extend(ps)
+        return lid0
+
     def set_pose(self, idx, Rt):
         self.og.set_pose(idx, se3.Pose(jnp.asarray(Rt[0]),
                                        jnp.asarray(Rt[1])), new=False)
@@ -234,6 +249,10 @@ class _OnlineVioGraph:
         self.og.add_plane_factors(pose_idx, plane_idx, meas, sqrt_info)
 
 
+def _NULL_TIMER(_phase):
+    return contextlib.nullcontext()
+
+
 @jax.jit
 def _transform_plane_covs_batch(planes, covs, pose):
     """All of a detection's camera->body projections in one dispatch."""
@@ -264,6 +283,7 @@ class _PlaneStack:
         self.book = PlaneLandmarkBook(lookback=params.lookback_nodes)
         self.plane_nodes: dict[int, object] = {}  # gid -> detection | None
         self.pending: dict[int, object] = {}      # pre-extracted, no factors
+        self.pt = None            # optional PhaseTimer (rescue sub-phases)
         self.n_plane = 0
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._base_key = jax.random.PRNGKey(cfg.seed)
@@ -280,7 +300,7 @@ class _PlaneStack:
 
     def insert_plane_obs(self, gid, pose_body: se3.Pose, plane_cam, cov3,
                          lid: int = -1, trace_extra: float = 0.0,
-                         pre=None, buffer=None) -> int:
+                         pre=None, buffer=None, plane_buffer=None) -> int:
         """Camera-frame plane observation -> landmark id + plane factor.
 
         ``lid >= 0`` skips geometric association (the id was carried by
@@ -320,8 +340,15 @@ class _PlaneStack:
             # record the re-observation only once the gate accepts it
             self.book.observe(gid, lid)
         S = repair_plane_cov(cb)
-        if is_new and len(self.b._planes) <= lid:
-            self.b.add_plane(self.book.world[lid])
+        n_staged = len(plane_buffer) if plane_buffer is not None else 0
+        if is_new and len(self.b._planes) + n_staged <= lid:
+            if plane_buffer is not None:
+                # stage the landmark write for the rescue's single
+                # batched flush (new lids are allocated monotonically by
+                # the book, so staging order == arena append order)
+                plane_buffer.append((lid, np.asarray(self.book.world[lid])))
+            else:
+                self.b.add_plane(self.book.world[lid])
         if buffer is not None:
             buffer.append((gid, lid, np.asarray(pb),
                            _sqrt_info(3, covariance=S)))
@@ -337,27 +364,56 @@ class _PlaneStack:
             self.insert_plane_obs(gid, pose_body, plane_cam, cov3)
 
     def insert_detection(self, gid, pose_body: se3.Pose, det,
-                         trace_extra: float = 0.0) -> None:
+                         trace_extra: float = 0.0,
+                         buffer=None, plane_buffer=None,
+                         transformed=None) -> None:
         """Add factors for a PlaneNodeDetection, associating unassigned
         planes and writing the resolved landmark ids back (the driver's
         addPlaneFactor / planeNodeAssociation split,
         test_vro_imu_graph.cpp:256-283). The camera->body covariance
-        projections of the whole detection run as ONE vmapped dispatch."""
+        projections of the whole detection run as ONE vmapped dispatch.
+
+        ``buffer``/``plane_buffer`` defer the factor/landmark arena
+        writes to a caller-owned flush (the rescue host step merges the
+        pre-node and current-node writes into one dispatch each);
+        ``transformed`` supplies an already-enqueued
+        ``_transform_plane_covs_batch`` result."""
         if not len(det):
             return
-        pbs, cbs = _transform_plane_covs_batch(
-            jnp.asarray(det.params), jnp.asarray(det.cov), self._u2c_inv)
-        pbs, cbs = np.asarray(pbs), np.asarray(cbs)
-        rows: list = []
+        if transformed is None:
+            transformed = _transform_plane_covs_batch(
+                jnp.asarray(det.params), jnp.asarray(det.cov),
+                self._u2c_inv)
+        pbs, cbs = np.asarray(transformed[0]), np.asarray(transformed[1])
+        rows: list = [] if buffer is None else buffer
         for p in range(len(det)):
             lid = int(det.landmark_ids[p])
             got = self.insert_plane_obs(gid, pose_body, det.params[p],
                                         det.cov[p], lid=lid,
                                         trace_extra=trace_extra,
-                                        pre=(pbs[p], cbs[p]), buffer=rows)
+                                        pre=(pbs[p], cbs[p]), buffer=rows,
+                                        plane_buffer=plane_buffer)
             if got >= 0:
                 det.landmark_ids[p] = got
-        self._flush_rows(rows)
+        if buffer is None:
+            self._flush_rows(rows)
+
+    def _flush_planes(self, staged) -> None:
+        """Write staged new-landmark rows — one batched arena write when
+        the writer supports it (must run BEFORE the factor-row flush:
+        the rows reference these landmark slots)."""
+        if not staged:
+            return
+        lids = [lid for lid, _ in staged]
+        assert lids[0] == len(self.b._planes) and \
+            lids == list(range(lids[0], lids[0] + len(lids))), \
+            "staged landmark order broke the arena append invariant"
+        batch = getattr(self.b, "add_planes_batch", None)
+        if batch is not None:
+            batch([p for _, p in staged])
+        else:
+            for _, p in staged:
+                self.b.add_plane(p)
 
     def _flush_rows(self, rows) -> None:
         """Write buffered factor rows — one batched append when the
@@ -379,7 +435,7 @@ class _PlaneStack:
         rescue sources (the scan engine's segment split): ONE vmapped
         extraction dispatch instead of one per rescue step. Factors are
         NOT inserted here — the node's estimated pose isn't known yet;
-        ``plane_node_for`` consumes the pending detection at rescue time.
+        ``rescue`` consumes the pending detection when it fires.
         """
         if self.frames is None:
             return
@@ -410,23 +466,6 @@ class _PlaneStack:
             max_planes=self.cfg.max_planes,
             min_support=self.cfg.min_plane_support)
 
-    def plane_node_for(self, gid, pose_body: se3.Pose, seq,
-                       trace_extra: float = 0.0):
-        """Node ``gid``'s plane set, lazily extracted from its frame when
-        the node carried none (test_vro_imu_graph.cpp:218-233); a pending
-        pre-extracted detection (``precompute_detections``) is consumed
-        instead of re-extracting."""
-        det = self.plane_nodes.get(gid)
-        if det is not None or self.frames is None:
-            return det
-        det = self.pending.pop(gid, None)
-        if det is None:
-            det = self._extract(seq)
-        if det is not None:
-            self.insert_detection(gid, pose_body, det, trace_extra)
-            self.plane_nodes[gid] = det
-        return det
-
     def first_node_planes(self, gid, pose_body: se3.Pose, seq) -> None:
         """firstPlaneNode: register node-0 planes as landmarks
         (gtsam_graph.cpp:1102-1115; driver test_vro_imu_graph.cpp:135-146).
@@ -444,28 +483,72 @@ class _PlaneStack:
         (test_vro_imu_graph.cpp:205-300): propagate the PREVIOUS FRAME's
         planes (pre_node_id = m_id-1, :213) through the IMU-predicted
         relative pose from that node's ESTIMATED pose (:239-240), carry
-        landmark ids, extract fresh planes on the uncovered cloud."""
-        trace_simu = float(np.trace(np.asarray(S_pose)[:3, :3]))
+        landmark ids, extract fresh planes on the uncovered cloud.
+
+        Async-pipelined for remote-attached backends: ``est``/
+        ``pre_pose``/``S_pose`` may be DEVICE references straight out of
+        the fused VIO kernel — the pre-node covariance transform and the
+        whole prediction program (between + conjugation + propagation +
+        coverage-gated extraction) are enqueued before the host blocks
+        on any result, so the device computes while the host associates.
+        """
         if self.frames is None:
             return
-        pre_det = self.plane_node_for(pre_gid, pre_pose, pre_seq,
-                                      trace_extra=trace_simu)
+        pt = self.pt if self.pt is not None else _NULL_TIMER
+        rows: list = []
+        new_planes: list = []
+
+        # -- resolve the pre-node detection (host bookkeeping only) ------
+        pre_det = self.plane_nodes.get(pre_gid)
+        pre_fresh = None          # detection whose factors are not in yet
+        if pre_det is None:
+            pre_fresh = self.pending.pop(pre_gid, None)
+            if pre_fresh is None:
+                pre_fresh = self._extract(pre_seq)
+            pre_det = pre_fresh
         fr = self.frames(seq_to)
-        cur_det = None
-        if fr is not None:
-            if pre_det is not None:
-                T_body = se3.between(pre_pose, est)
-                cur_det = predict_plane_node(
-                    self._next_key(), self.K, pre_det, T_body,
-                    S_pose, fr[0], fr[1], u2c=self.u2c,
+
+        # -- enqueue phase (no host sync) --------------------------------
+        with pt("rescue_enqueue"):
+            pre_T = None
+            if pre_fresh is not None and len(pre_fresh):
+                pre_T = _transform_plane_covs_batch(
+                    jnp.asarray(pre_fresh.params),
+                    jnp.asarray(pre_fresh.cov), self._u2c_inv)
+            handle = None
+            if fr is not None and pre_det is not None and len(pre_det):
+                handle = predict_plane_node_start(
+                    self._next_key(), self.K, pre_det,
+                    pre_pose.R, pre_pose.t, est.R, est.t, S_pose,
+                    fr[0], fr[1], u2c=self.u2c,
                     max_new_planes=self.cfg.max_planes,
                     min_support=self.cfg.min_plane_support)
-            else:
+
+        # -- read phase --------------------------------------------------
+        trace_simu = float(np.trace(np.asarray(S_pose)[:3, :3]))
+        if pre_fresh is not None:
+            with pt("rescue_pre_insert"):
+                self.insert_detection(pre_gid, pre_pose, pre_fresh,
+                                      trace_extra=trace_simu,
+                                      buffer=rows, plane_buffer=new_planes,
+                                      transformed=pre_T)
+                self.plane_nodes[pre_gid] = pre_fresh
+        cur_det = None
+        if fr is not None:
+            if handle is not None:
+                with pt("rescue_predict"):
+                    cur_det = predict_plane_node_finish(handle)
+            elif pre_det is None or not len(pre_det):
                 cur_det = self._extract(seq_to)
         if cur_det is not None:
-            self.insert_detection(gj, est, cur_det,
-                                  trace_extra=trace_simu)
+            with pt("rescue_cur_insert"):
+                self.insert_detection(gj, est, cur_det,
+                                      trace_extra=trace_simu,
+                                      buffer=rows, plane_buffer=new_planes)
         self.plane_nodes[gj] = cur_det
+        with pt("rescue_flush"):
+            self._flush_planes(new_planes)
+            self._flush_rows(rows)
 
 
 def _vio_frame_kernel(graph, values, imu_params: ImuParams, acc, gyr, dts,
@@ -727,6 +810,19 @@ class _ScanPlaneWriter:
         self.og.set_plane(lid, p)
         self._planes.append(np.asarray(p))
         return lid
+
+    def add_planes_batch(self, ps) -> int:
+        """Append many landmarks with ONE device write (rescue flush)."""
+        ps = [np.asarray(p) for p in ps]
+        if not ps:
+            return self.og.num_planes
+        lid0 = self.og.num_planes
+        cap = self.og.values.plane.shape[0]
+        if lid0 + len(ps) > cap:
+            self.og.grow(plane_var_cap=max(8, 2 * cap, lid0 + len(ps)))
+        self.og.set_planes(np.arange(lid0, lid0 + len(ps)), np.stack(ps))
+        self._planes.extend(ps)
+        return lid0
 
     def add_plane_factor(self, pose_idx, plane_idx, meas, **noise):
         cap = self.og.graph.plane.pose_idx.shape[0]
@@ -1012,6 +1108,8 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
 
     chi2_log = Chi2Log()
     pt = PhaseTimer()
+    if stack is not None:
+        stack.pt = pt
     dt64 = og.values.pose_t.dtype
     robust_kind_j = jnp.asarray(0 if robust_k is None else 1, jnp.int32)
     robust_k_j = jnp.asarray(1.0 if robust_k is None else float(robust_k),
@@ -1081,7 +1179,7 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
         og.num_vels = max(og.num_vels, gj + 1)
         og.num_biases = max(og.num_biases, gj + 1)
         est = se3.Pose(est_R, est_t)
-        S_pose = np.asarray(S15)[:6, :6]
+        S_pose = S15[:6, :6]     # device ref: rescue enqueues against it
         seq_to = int(rec_seq_to[i])
         stack.provider_obs(gj, est, seq_to)
         if frames is not None:

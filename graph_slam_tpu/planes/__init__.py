@@ -11,6 +11,8 @@ from .plane_node import (
     extract_plane_node,
     extract_plane_nodes_batch,
     predict_plane_node,
+    predict_plane_node_finish,
+    predict_plane_node_start,
 )
 from .propagation import PropagationResult, propagate_plane, propagate_planes
 from .psd import inflate_if_uncertain, repair_plane_cov
@@ -22,6 +24,7 @@ __all__ = [
     "PlaneDetection", "extract_planes", "fit_plane_lsq",
     "PlaneNodeDetection", "extract_plane_node",
     "extract_plane_nodes_batch", "predict_plane_node",
+    "predict_plane_node_start", "predict_plane_node_finish",
     "PropagationResult", "propagate_plane", "propagate_planes",
     "repair_plane_cov", "inflate_if_uncertain",
 ]

@@ -33,11 +33,12 @@ import numpy as np
 from ..config import CameraIntrinsics
 from ..core import se3
 from . import oriented_plane
-from .extraction import extract_planes
+from .extraction import PlaneDetection, extract_planes
 from .propagation import propagate_planes
 
 __all__ = ["PlaneNodeDetection", "extract_plane_node",
-           "extract_plane_nodes_batch", "predict_plane_node"]
+           "extract_plane_nodes_batch", "predict_plane_node",
+           "predict_plane_node_start", "predict_plane_node_finish"]
 
 
 @dataclasses.dataclass
@@ -196,6 +197,104 @@ def _planes_overlap(new_plane, new_mask, new_count, kept: PlaneNodeDetection,
     return False
 
 
+def _propagate_extract_core(K: CameraIntrinsics, key, planes_i, S_ni, S_di,
+                            prev_masks, prev_counts, T_cam: se3.Pose, S_tij,
+                            intensity, depth, grow_steps: int,
+                            keep_ratio, coverage_thresh,
+                            max_new_planes: int, min_support, dist_thresh,
+                            sigma_z, z_min, z_max):
+    """Propagation + conditional REST-cloud extraction as ONE traced unit.
+
+    Fuses the two hot dispatches of ``predict_plane_node`` (the batched
+    ``propagate_planes`` and the coverage-gated fresh ``extract_planes``
+    of gtsam_graph.cpp:1044-1075): the covered-pixel mask and the
+    coverage decision are computed on device and the extraction runs
+    under ``lax.cond`` — per rescue the plane stack costs one dispatch
+    instead of two, and nothing crosses the host boundary in between.
+    """
+    res = propagate_planes(K, planes_i, S_ni, S_di, prev_masks,
+                           prev_counts, T_cam, S_tij,
+                           intensity, depth, grow_steps=grow_steps,
+                           z_min=z_min, z_max=z_max, keep_ratio=keep_ratio,
+                           sigma_z=sigma_z)
+    h, w = depth.shape
+    covered = jnp.any(res.mask & res.ok[:, None, None], axis=0)
+    num_added = jnp.sum(jnp.where(res.ok, res.count, 0))
+    # restrict == None (full frame) when nothing propagated is the same
+    # mask as ~covered: covered is all-False then
+    pts, valid = _backproject_frame(K, depth, z_min, z_max)
+    valid = valid & ~covered.reshape(-1)
+
+    def extract(_):
+        return extract_planes(key, pts, valid, max_planes=max_new_planes,
+                              n_hyp=512, dist_thresh=dist_thresh,
+                              min_support=min_support, sigma_z=sigma_z)
+
+    def skip(_):
+        return PlaneDetection(
+            params=jnp.zeros((max_new_planes, 4),
+                             pts.dtype).at[:, 2].set(1.0),
+            cov=jnp.zeros((max_new_planes, 3, 3), pts.dtype),
+            inlier=jnp.zeros((max_new_planes, h * w), bool),
+            count=jnp.zeros((max_new_planes,), jnp.int32),
+            valid=jnp.zeros((max_new_planes,), bool))
+
+    fresh = jax.lax.cond(num_added <= coverage_thresh * h * w,
+                         extract, skip, None)
+    return res, fresh
+
+
+@partial(jax.jit, static_argnames=("K", "max_new_planes", "grow_steps"))
+def _propagate_and_extract(K: CameraIntrinsics, key, planes_i, S_ni, S_di,
+                           prev_masks, prev_counts, T_R, T_t, S_tij,
+                           intensity, depth, grow_steps: int,
+                           keep_ratio, coverage_thresh,
+                           max_new_planes: int, min_support, dist_thresh,
+                           sigma_z, z_min, z_max):
+    return _propagate_extract_core(
+        K, key, planes_i, S_ni, S_di, prev_masks, prev_counts,
+        se3.Pose(T_R, T_t), S_tij, intensity, depth, grow_steps,
+        keep_ratio, coverage_thresh, max_new_planes, min_support,
+        dist_thresh, sigma_z, z_min, z_max)
+
+
+@partial(jax.jit, static_argnames=("K", "max_new_planes", "grow_steps",
+                                   "conjugate"))
+def _rescue_predict_program(K: CameraIntrinsics, key, planes_i, S_ni, S_di,
+                            prev_masks, prev_counts, pre_R, pre_t,
+                            est_R, est_t, S66, u2c_R, u2c_t,
+                            conjugate: bool, intensity, depth,
+                            grow_steps: int, keep_ratio, coverage_thresh,
+                            max_new_planes: int, min_support, dist_thresh,
+                            sigma_z, z_min, z_max):
+    """The whole rescue-side plane prediction as ONE enqueueable program.
+
+    Takes the VIO kernel's outputs (estimated pose, 6x6 pose covariance)
+    as DEVICE references, so the host can enqueue it right after the
+    kernel without blocking on any result read — the between-pose, the
+    u2c conjugation (gtsam_graph.cpp:879-883), the batched propagation
+    and the coverage-gated fresh extraction all pipeline behind the
+    kernel on device. Also returns ``trace(S66[:3,:3])`` so the host's
+    gating scalar rides the same read.
+    """
+    T_body = se3.between(se3.Pose(pre_R, pre_t), se3.Pose(est_R, est_t))
+    if conjugate:
+        u2c = se3.Pose(u2c_R, u2c_t)
+        u2c_inv = se3.inverse(u2c)
+        T_cam = se3.compose(se3.compose(u2c_inv, T_body), u2c)
+        Adj = se3.adjoint(u2c_inv)
+        S_p = Adj @ S66 @ Adj.T
+    else:
+        T_cam = T_body
+        S_p = S66
+    res, fresh = _propagate_extract_core(
+        K, key, planes_i, S_ni, S_di, prev_masks, prev_counts, T_cam,
+        S_p[3:6, 3:6], intensity, depth, grow_steps, keep_ratio,
+        coverage_thresh, max_new_planes, min_support, dist_thresh,
+        sigma_z, z_min, z_max)
+    return res, fresh, jnp.trace(S66[:3, :3])
+
+
 def predict_plane_node(key, K: CameraIntrinsics,
                        prev: Optional[PlaneNodeDetection],
                        T_body: se3.Pose, S_pose, intensity, depth,
@@ -231,48 +330,72 @@ def predict_plane_node(key, K: CameraIntrinsics,
     intensity = jnp.asarray(intensity)
     h, w = depth.shape
 
-    # body -> camera frame conjugation of the predicted pose + covariance
+    # body -> camera frame conjugation of the predicted pose + covariance.
+    # Pure NumPy: per-rescue 3x3 algebra is host-side by design — eager
+    # device ops cost a relay round trip each on remote-attached backends
     if u2c is not None:
-        u2c_inv = se3.inverse(u2c)
-        T_cam = se3.compose(se3.compose(u2c_inv, T_body), u2c)
-        Adj = np.asarray(se3.adjoint(u2c_inv))
+        Ru, tu = np.asarray(u2c.R), np.asarray(u2c.t)
+        Ri, ti = Ru.T, -Ru.T @ tu                       # u2c^-1
+        Rb, tb = np.asarray(T_body.R), np.asarray(T_body.t)
+        R1, t1 = Ri @ Rb, Ri @ tb + ti                  # u2c^-1 * T_body
+        T_cam = se3.Pose(R1 @ Ru, R1 @ tu + t1)         # ... * u2c
+        hat_ti = np.array([[0.0, -ti[2], ti[1]],
+                           [ti[2], 0.0, -ti[0]],
+                           [-ti[1], ti[0], 0.0]])
+        Adj = np.block([[Ri, np.zeros((3, 3))],        # Pose3::AdjointMap
+                        [hat_ti @ Ri, Ri]])             # of u2c^-1
         S_p = Adj @ np.asarray(S_pose) @ Adj.T
     else:
-        T_cam = T_body
+        T_cam = se3.Pose(np.asarray(T_body.R), np.asarray(T_body.t))
         S_p = np.asarray(S_pose)
     S_tij = jnp.asarray(S_p[3:6, 3:6])   # translation block, (omega, v) order
 
-    kept_params, kept_cov, kept_masks, kept_counts, kept_lids = \
-        [], [], [], [], []
-    covered = np.zeros((h, w), bool)
-    num_added = 0
-
     if prev is not None and len(prev):
-        # ALL previous planes in one batched dispatch (propagate_planes);
-        # acceptance/bookkeeping stays host-side per plane
+        # ALL previous planes AND the coverage-gated fresh extraction in
+        # one fused dispatch; acceptance/bookkeeping stays host-side
         nv = [_tangent_to_nv_cov(prev.params[l], prev.cov[l])
               for l in range(len(prev))]
-        res = propagate_planes(
-            K, jnp.asarray(prev.params),
+        res, fresh_raw = _propagate_and_extract(
+            K, key, jnp.asarray(prev.params),
             jnp.asarray(np.stack([s for s, _ in nv])),
             jnp.asarray(np.asarray([d for _, d in nv])),
             jnp.asarray(prev.masks),
-            jnp.asarray(prev.counts.astype(np.float64)), T_cam, S_tij,
-            intensity, depth, grow_steps=grow_steps, z_min=z_min,
-            z_max=z_max, keep_ratio=keep_ratio, sigma_z=sigma_z)
-        ok_np = np.asarray(res.ok)
-        masks_np = np.asarray(res.mask)
-        params_np = np.asarray(res.plane)
-        cov_np = np.asarray(res.cov)
-        counts_np = np.asarray(res.count)
-        for l in np.nonzero(ok_np)[0]:
-            kept_params.append(params_np[l])
-            kept_cov.append(cov_np[l])
-            kept_masks.append(masks_np[l])
-            kept_counts.append(int(counts_np[l]))
-            kept_lids.append(int(prev.landmark_ids[l]))
-            covered |= masks_np[l]
-            num_added += int(counts_np[l])
+            jnp.asarray(prev.counts.astype(np.float64)), T_cam.R, T_cam.t,
+            S_tij, intensity, depth, grow_steps, keep_ratio,
+            coverage_thresh, max_new_planes, min_support, 0.02, sigma_z,
+            z_min, z_max)
+        return _collect_prediction(prev, res, fresh_raw, h, w,
+                                   coverage_thresh)
+
+    # no previous planes: plain fresh extraction of the whole frame
+    return extract_plane_node(
+        key, K, intensity, depth, restrict_mask=None,
+        max_planes=max_new_planes, min_support=min_support,
+        z_min=z_min, z_max=z_max, sigma_z=sigma_z)
+
+
+def _collect_prediction(prev: PlaneNodeDetection, res, fresh_raw,
+                        h: int, w: int, coverage_thresh: float,
+                        ) -> Optional[PlaneNodeDetection]:
+    """Host bookkeeping of a propagation+extraction result: acceptance,
+    landmark-id carry, coverage gate, overlap merge (the only part of
+    ``predictPlaneNode`` that reads device results). Shared by
+    ``predict_plane_node`` and the async start/finish pair."""
+    kept_params, kept_cov, kept_masks, kept_counts, kept_lids = \
+        [], [], [], [], []
+    num_added = 0
+    ok_np = np.asarray(res.ok)
+    masks_np = np.asarray(res.mask)
+    params_np = np.asarray(res.plane)
+    cov_np = np.asarray(res.cov)
+    counts_np = np.asarray(res.count)
+    for l in np.nonzero(ok_np)[0]:
+        kept_params.append(params_np[l])
+        kept_cov.append(cov_np[l])
+        kept_masks.append(masks_np[l])
+        kept_counts.append(int(counts_np[l]))
+        kept_lids.append(int(prev.landmark_ids[l]))
+        num_added += int(counts_np[l])
 
     kept = PlaneNodeDetection(
         params=np.asarray(kept_params).reshape(-1, 4),
@@ -282,13 +405,18 @@ def predict_plane_node(key, K: CameraIntrinsics,
         landmark_ids=np.asarray(kept_lids, np.int64),
     )
 
-    # fresh extraction on the uncovered cloud when coverage is low
+    # fresh planes from the uncovered cloud (the fused program already
+    # ran — or skipped — the extraction; valid is all-False when skipped)
     if num_added <= coverage_thresh * h * w:
-        restrict = None if num_added == 0 else ~covered
-        fresh = extract_plane_node(
-            key, K, intensity, depth, restrict_mask=restrict,
-            max_planes=max_new_planes, min_support=min_support,
-            z_min=z_min, z_max=z_max, sigma_z=sigma_z)
+        ok = np.asarray(fresh_raw.valid)
+        sel = np.nonzero(ok)[0]
+        fresh = None if not len(sel) else PlaneNodeDetection(
+            params=np.asarray(fresh_raw.params)[sel],
+            cov=np.asarray(fresh_raw.cov)[sel],
+            masks=np.asarray(fresh_raw.inlier)[sel].reshape(
+                len(sel), h, w),
+            counts=np.asarray(fresh_raw.count)[sel],
+            landmark_ids=np.full(len(sel), -1, np.int64))
         if fresh is not None:
             for f in range(len(fresh)):
                 if _planes_overlap(fresh.params[f], fresh.masks[f],
@@ -305,3 +433,51 @@ def predict_plane_node(key, K: CameraIntrinsics,
                     [kept.landmark_ids, np.asarray([-1], np.int64)])
 
     return kept if len(kept) else None
+
+
+def predict_plane_node_start(key, K: CameraIntrinsics,
+                             prev: PlaneNodeDetection, pre_R, pre_t,
+                             est_R, est_t, S66, intensity, depth,
+                             u2c: Optional[se3.Pose] = None,
+                             keep_ratio: float = 0.7,
+                             coverage_thresh: float = 0.5,
+                             max_new_planes: int = 4,
+                             min_support: int = 300, grow_steps: int = 64,
+                             z_min: float = 0.1, z_max: float = 5.0,
+                             sigma_z: float = 0.014):
+    """Enqueue the rescue-side plane prediction WITHOUT blocking.
+
+    ``pre_R/pre_t/est_R/est_t/S66`` may be device references straight out
+    of the VIO kernel — the between-pose and covariance conjugation run
+    on device, so the caller can enqueue this right after the kernel and
+    overlap the host's association work with the device's propagation.
+    ``prev`` must be non-empty. Finish with
+    :func:`predict_plane_node_finish`.
+    """
+    depth = jnp.asarray(depth)
+    intensity = jnp.asarray(intensity)
+    h, w = depth.shape
+    nv = [_tangent_to_nv_cov(prev.params[l], prev.cov[l])
+          for l in range(len(prev))]
+    conjugate = u2c is not None
+    uR = jnp.asarray(u2c.R) if conjugate else jnp.eye(3, dtype=jnp.float64)
+    ut = jnp.asarray(u2c.t) if conjugate else jnp.zeros(3, jnp.float64)
+    res, fresh, tr = _rescue_predict_program(
+        K, key, jnp.asarray(prev.params),
+        jnp.asarray(np.stack([s for s, _ in nv])),
+        jnp.asarray(np.asarray([d for _, d in nv])),
+        jnp.asarray(prev.masks),
+        jnp.asarray(prev.counts.astype(np.float64)),
+        jnp.asarray(pre_R), jnp.asarray(pre_t),
+        jnp.asarray(est_R), jnp.asarray(est_t), jnp.asarray(S66),
+        uR, ut, conjugate, intensity, depth, grow_steps, keep_ratio,
+        coverage_thresh, max_new_planes, min_support, 0.02, sigma_z,
+        z_min, z_max)
+    return (prev, res, fresh, tr, h, w, coverage_thresh)
+
+
+def predict_plane_node_finish(handle) -> Optional[PlaneNodeDetection]:
+    """Block on a :func:`predict_plane_node_start` handle and run the
+    host bookkeeping; returns the predicted detection (or None)."""
+    prev, res, fresh, _tr, h, w, coverage_thresh = handle
+    return _collect_prediction(prev, res, fresh, h, w, coverage_thresh)
