@@ -253,6 +253,26 @@ def _NULL_TIMER(_phase):
     return contextlib.nullcontext()
 
 
+def _start_host_copies(*objs) -> None:
+    """Kick off device->host transfers for every jax array reachable from
+    ``objs`` WITHOUT blocking. On remote-attached backends each blocking
+    ``np.asarray`` read is a separate tunnel round trip; starting all the
+    copies up front lets them overlap so the read phase pays ~one."""
+    for o in objs:
+        if o is None:
+            continue
+        if hasattr(o, "copy_to_host_async"):
+            try:
+                o.copy_to_host_async()
+            except Exception:
+                pass
+        elif dataclasses.is_dataclass(o) and not isinstance(o, type):
+            _start_host_copies(*(getattr(o, f.name)
+                                 for f in dataclasses.fields(o)))
+        elif isinstance(o, (tuple, list)):
+            _start_host_copies(*o)
+
+
 @jax.jit
 def _transform_plane_covs_batch(planes, covs, pose):
     """All of a detection's camera->body projections in one dispatch."""
@@ -525,26 +545,32 @@ class _PlaneStack:
                     min_support=self.cfg.min_plane_support)
 
         # -- read phase --------------------------------------------------
+        # overlap ALL device->host transfers before the first blocking
+        # read (each serial np.asarray pays a tunnel round trip)
+        _start_host_copies(S_pose, pre_T, handle, est, pre_pose)
+        est_h = se3.Pose(np.asarray(est.R), np.asarray(est.t))
+        pre_h = se3.Pose(np.asarray(pre_pose.R), np.asarray(pre_pose.t))
         trace_simu = float(np.trace(np.asarray(S_pose)[:3, :3]))
         if pre_fresh is not None:
             with pt("rescue_pre_insert"):
-                self.insert_detection(pre_gid, pre_pose, pre_fresh,
+                self.insert_detection(pre_gid, pre_h, pre_fresh,
                                       trace_extra=trace_simu,
                                       buffer=rows, plane_buffer=new_planes,
                                       transformed=pre_T)
                 self.plane_nodes[pre_gid] = pre_fresh
-        cur_det = None
+        cur_det, cur_T = None, None
         if fr is not None:
             if handle is not None:
                 with pt("rescue_predict"):
-                    cur_det = predict_plane_node_finish(handle)
+                    cur_det, cur_T = predict_plane_node_finish(handle)
             elif pre_det is None or not len(pre_det):
                 cur_det = self._extract(seq_to)
         if cur_det is not None:
             with pt("rescue_cur_insert"):
-                self.insert_detection(gj, est, cur_det,
+                self.insert_detection(gj, est_h, cur_det,
                                       trace_extra=trace_simu,
-                                      buffer=rows, plane_buffer=new_planes)
+                                      buffer=rows, plane_buffer=new_planes,
+                                      transformed=cur_T)
         self.plane_nodes[gj] = cur_det
         with pt("rescue_flush"):
             self._flush_planes(new_planes)

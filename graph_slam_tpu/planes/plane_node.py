@@ -33,6 +33,7 @@ import numpy as np
 from ..config import CameraIntrinsics
 from ..core import se3
 from . import oriented_plane
+from .association import transform_plane_cov
 from .extraction import PlaneDetection, extract_planes
 from .propagation import propagate_planes
 
@@ -278,9 +279,9 @@ def _rescue_predict_program(K: CameraIntrinsics, key, planes_i, S_ni, S_di,
     gating scalar rides the same read.
     """
     T_body = se3.between(se3.Pose(pre_R, pre_t), se3.Pose(est_R, est_t))
+    u2c = se3.Pose(u2c_R, u2c_t)
+    u2c_inv = se3.inverse(u2c)          # identity when conjugate is False
     if conjugate:
-        u2c = se3.Pose(u2c_R, u2c_t)
-        u2c_inv = se3.inverse(u2c)
         T_cam = se3.compose(se3.compose(u2c_inv, T_body), u2c)
         Adj = se3.adjoint(u2c_inv)
         S_p = Adj @ S66 @ Adj.T
@@ -292,7 +293,13 @@ def _rescue_predict_program(K: CameraIntrinsics, key, planes_i, S_ni, S_di,
         S_p[3:6, 3:6], intensity, depth, grow_steps, keep_ratio,
         coverage_thresh, max_new_planes, min_support, dist_thresh,
         sigma_z, z_min, z_max)
-    return res, fresh, jnp.trace(S66[:3, :3])
+    # camera->body projections of every candidate row (propagated AND
+    # fresh) ride the same program, so the insertion host step never has
+    # to dispatch its own transform (same jitted math the host path uses)
+    tf = jax.vmap(lambda p, c: transform_plane_cov(p, c, u2c_inv))
+    pb_p, cb_p = tf(res.plane, res.cov)
+    pb_f, cb_f = tf(fresh.params, fresh.cov)
+    return res, fresh, (pb_p, cb_p, pb_f, cb_f), jnp.trace(S66[:3, :3])
 
 
 def predict_plane_node(key, K: CameraIntrinsics,
@@ -376,13 +383,20 @@ def predict_plane_node(key, K: CameraIntrinsics,
 
 def _collect_prediction(prev: PlaneNodeDetection, res, fresh_raw,
                         h: int, w: int, coverage_thresh: float,
-                        ) -> Optional[PlaneNodeDetection]:
+                        return_src: bool = False):
     """Host bookkeeping of a propagation+extraction result: acceptance,
     landmark-id carry, coverage gate, overlap merge (the only part of
     ``predictPlaneNode`` that reads device results). Shared by
-    ``predict_plane_node`` and the async start/finish pair."""
+    ``predict_plane_node`` and the async start/finish pair.
+
+    ``return_src`` additionally returns, per final detection row, the
+    source row it came from — ``(0, l)`` for propagation row ``l``,
+    ``(1, f)`` for raw fresh-extraction row ``f`` — so the caller can
+    gather precomputed per-row device results (the fused program's
+    body-frame projections) into detection order."""
     kept_params, kept_cov, kept_masks, kept_counts, kept_lids = \
         [], [], [], [], []
+    src: list = []
     num_added = 0
     ok_np = np.asarray(res.ok)
     masks_np = np.asarray(res.mask)
@@ -395,6 +409,7 @@ def _collect_prediction(prev: PlaneNodeDetection, res, fresh_raw,
         kept_masks.append(masks_np[l])
         kept_counts.append(int(counts_np[l]))
         kept_lids.append(int(prev.landmark_ids[l]))
+        src.append((0, int(l)))
         num_added += int(counts_np[l])
 
     kept = PlaneNodeDetection(
@@ -431,8 +446,10 @@ def _collect_prediction(prev: PlaneNodeDetection, res, fresh_raw,
                     [kept.counts, fresh.counts[f:f + 1]])
                 kept.landmark_ids = np.concatenate(
                     [kept.landmark_ids, np.asarray([-1], np.int64)])
+                src.append((1, int(sel[f])))
 
-    return kept if len(kept) else None
+    out = kept if len(kept) else None
+    return (out, src) if return_src else out
 
 
 def predict_plane_node_start(key, K: CameraIntrinsics,
@@ -462,7 +479,7 @@ def predict_plane_node_start(key, K: CameraIntrinsics,
     conjugate = u2c is not None
     uR = jnp.asarray(u2c.R) if conjugate else jnp.eye(3, dtype=jnp.float64)
     ut = jnp.asarray(u2c.t) if conjugate else jnp.zeros(3, jnp.float64)
-    res, fresh, tr = _rescue_predict_program(
+    res, fresh, tbody, tr = _rescue_predict_program(
         K, key, jnp.asarray(prev.params),
         jnp.asarray(np.stack([s for s, _ in nv])),
         jnp.asarray(np.asarray([d for _, d in nv])),
@@ -473,11 +490,25 @@ def predict_plane_node_start(key, K: CameraIntrinsics,
         uR, ut, conjugate, intensity, depth, grow_steps, keep_ratio,
         coverage_thresh, max_new_planes, min_support, 0.02, sigma_z,
         z_min, z_max)
-    return (prev, res, fresh, tr, h, w, coverage_thresh)
+    return (prev, res, fresh, tbody, tr, h, w, coverage_thresh)
 
 
-def predict_plane_node_finish(handle) -> Optional[PlaneNodeDetection]:
+def predict_plane_node_finish(handle):
     """Block on a :func:`predict_plane_node_start` handle and run the
-    host bookkeeping; returns the predicted detection (or None)."""
-    prev, res, fresh, _tr, h, w, coverage_thresh = handle
-    return _collect_prediction(prev, res, fresh, h, w, coverage_thresh)
+    host bookkeeping.
+
+    Returns ``(detection, transformed)`` where ``transformed`` is the
+    ``(planes_body, covs_body)`` pair aligned to the detection's rows
+    (the fused program's camera->body projections, gathered through the
+    acceptance/merge bookkeeping) — the caller inserts the detection's
+    factors without dispatching any transform of its own. Both are None
+    when nothing was predicted."""
+    prev, res, fresh, tbody, _tr, h, w, coverage_thresh = handle
+    det, src = _collect_prediction(prev, res, fresh, h, w,
+                                   coverage_thresh, return_src=True)
+    if det is None:
+        return None, None
+    pb_p, cb_p, pb_f, cb_f = (np.asarray(x) for x in tbody)
+    pbs = np.stack([(pb_p if k == 0 else pb_f)[i] for k, i in src])
+    cbs = np.stack([(cb_p if k == 0 else cb_f)[i] for k, i in src])
+    return det, (pbs, cbs)
