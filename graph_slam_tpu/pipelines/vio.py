@@ -1171,14 +1171,13 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
                 gate=cfg.chi2_vro_gate, iters=cfg.incremental_iters,
                 wcaps=(Wwin, Wwin, Wwin), opt_caps=opt_caps)
             # in-scan telemetry: the window chi2 of every scheduled
-            # optimization rode the scan outputs — no extra programs
+            # optimization rode the scan outputs — no extra programs, and
+            # the read is DEFERRED to end-of-replay (an eager np.asarray
+            # here would sync the pipeline once per chunk)
             opt_rows = np.nonzero(xs_np["do_opt"][lo:lo + n_real])[0]
             if len(opt_rows):
-                chi2_np = np.asarray(chi2_ys)
-                for q in opt_rows:
-                    chi2_log.add(lo + int(q),
-                                 int(xs_np["last_gj"][lo + q]) + 1, None,
-                                 float(chi2_np[q]))
+                _start_host_copies(chi2_ys)
+                deferred_chi2.append((lo, opt_rows, chi2_ys))
             lo += n_real
         return prev
 
@@ -1227,9 +1226,12 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
             j = int(xs_np["last_gj"][i])
             prev = (vals.pose_R[j], vals.pose_t[j], vals.vel[j],
                     vals.bias[j])
-            chi2_log.add(i, j + 1, None, float(werr))
+            _start_host_copies(werr)
+            deferred_werr.append((i, j + 1, werr))
         return prev
 
+    deferred_chi2: list = []   # (chunk_lo, opt_rows, device chi2 vector)
+    deferred_werr: list = []   # (record, frame, device scalar)
     with trace_context(cfg.trace_dir):
         with pt("replay_scan"):
             prev = (og.values.pose_R[0], og.values.pose_t[0],
@@ -1242,6 +1244,17 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
                 seg_lo = i + 1
             prev = scan_segment(seg_lo, n_rec, prev)
             jax.block_until_ready(og.values.pose_t)
+
+        # materialize the deferred in-replay telemetry (device scalars
+        # whose host copies were started inside the loop), in replay order
+        merged = [(lo + int(q), int(xs_np["last_gj"][lo + q]) + 1, ys, q)
+                  for lo, opt_rows, ys in deferred_chi2 for q in opt_rows]
+        merged += [(rec, frame, werr, None)
+                   for rec, frame, werr in deferred_werr]
+        for rec, frame, val, q in sorted(merged, key=lambda m: m[0]):
+            v = np.asarray(val)
+            chi2_log.add(rec, frame, None,
+                         float(v if q is None else v[q]))
 
         graph, values = og.graph, og.values
         n_vo = int(np.asarray(graph.between.active).sum())
