@@ -29,6 +29,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # single-core g2o (CSparse) batch LM on sphere2500: ~2 GN iterations/sec
 BASELINE_G2O_ITERS_PER_SEC = 2.0
@@ -499,11 +500,16 @@ SECONDARY = {
     "vio_planes": bench_vio_planes,
     # the reference's FULL frame budget WITH plane rescue active (1%
     # failure rate, lazy frame rendering) — the definitive flagship
-    # artifact; too long for the default captured set, run via
-    # `python bench.py --single vio_planes_27k`. Measured 2026-08-17
-    # (v5e, warm): 123.8 frames/sec, 269 rescues (295 ms each),
-    # 68x the host-stepped path, chi2 finite — the whole
-    # gtsam_imuVN100_go.launch budget in 3.6 minutes on one chip.
+    # artifact, captured by the default set when the tunnel-speed probe
+    # allows. Measured 2026-08-17 (v5e, warm, before the deferred-
+    # telemetry commit): 149.3 frames/sec, 269 rescues (158 ms each),
+    # 70.4x the host-stepped path — the whole gtsam_imuVN100_go.launch
+    # budget in three minutes on one chip. Same-day optimization
+    # progression on the 200-frame config (identical chi2 every step):
+    # 23.7 -> 33.3 (async host copies) -> 39.8 (body transforms ride the
+    # fused program) -> 52.2 frames/sec (deferred telemetry reads).
+    # Tunnel latency varies by day (~2x); quote ratios across days, not
+    # absolute fps.
     "vio_planes_27k": lambda: bench_vio_planes(n_frames=27000,
                                                fail_every=100, lazy=True),
     # the reference's full frame budget (gtsam_imuVN100_go.launch:13) as
@@ -535,9 +541,26 @@ def _run_secondary(name: str, timeout: float = 1200):
         return {"error": str(e)[:400]}
 
 
+def _relay_probe_ms(n: int = 5) -> float:
+    """Median dispatch+read round trip of a trivial program, run FIRST
+    (before any other compiled program) so it measures the clean tunnel.
+    ~50 ms on a typical day, ~20 on a fast one; used to decide whether
+    the 27k flagship fits the captured budget this run. Inputs vary per
+    call — identical executions are served from the relay cache."""
+    probe = jax.jit(lambda x: x + 1.0)
+    np.asarray(probe(jnp.zeros(4)))          # compile + first read
+    ts = []
+    for k in range(n):
+        t0 = time.perf_counter()
+        np.asarray(probe(jnp.full(4, float(k))))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return sorted(ts)[n // 2]
+
+
 def main():
     from graph_slam_tpu.graph import gn_optimize, total_error
 
+    relay_ms = _relay_probe_ms()
     graph, values, _ = _sphere()
 
     def call(v):
@@ -590,21 +613,37 @@ def main():
     # secondary got a fresh 900 s regardless of elapsed time); a secondary
     # whose remaining budget is below its realistic tunnel wall time
     # (compiles included, measured 2026-08-17) SKIPS cleanly instead of
-    # shipping a mid-run timeout error. Priority order puts the flagship
-    # plane-rescue number and the 27k-frame run first; the 500-frame
-    # vio_replay is redundant with vio_27k and lives under --single.
-    est_s = {"vio_planes": 650, "vio_27k": 450, "ba_schur": 450,
-             "banded_direct": 280, "amortized": 280}
+    # shipping a mid-run timeout error. The plane-free 27k replay
+    # (`--single vio_27k`) and the 500-frame vio_replay are subsumed by
+    # the plane-rescue flagship configs and live under --single.
+    # the flagship capture adapts to the day's tunnel speed: the 27k
+    # plane-rescue config (the reference's full frame budget, the
+    # definitive artifact) runs when the relay probe says it fits; on a
+    # slow tunnel the 200-frame flagship config is captured instead
+    # (same engine, same rescue path, same fused-vs-host-stepped ratio).
+    # Walls measured 2026-08-17 on a ~50 ms-probe day: vio_planes_27k
+    # ~1320 s, vio_planes ~950 s, ba_schur ~450 s.
+    extra["relay_probe_ms"] = round(relay_ms, 1)
+    flagship = "vio_planes_27k" if relay_ms <= 120 else "vio_planes"
+    if flagship != "vio_planes_27k":
+        extra["vio_planes_27k"] = {
+            "skipped": f"relay probe {relay_ms:.0f} ms/call — tunnel too "
+                       "slow for the 27k config this run"}
+    est_s = {"vio_planes_27k": 1500, "vio_planes": 1000, "ba_schur": 500,
+             "banded_direct": 300, "amortized": 300}
+    caps = {"vio_planes_27k": 1900, "vio_planes": 1300, "ba_schur": 900,
+            "banded_direct": 700, "amortized": 700}
     t_budget = time.perf_counter()
-    total_budget = 2200.0     # ~45 min total with the headline (the r2
-    #                           driver capture ran comparably long)
-    for name in ("vio_planes", "vio_27k", "ba_schur", "banded_direct",
-                 "amortized"):
+    total_budget = 3400.0     # secondaries ~36 min on a typical day +
+    #                           the headline ≈ the r2 driver capture wall
+    for name in (flagship, "ba_schur", "banded_direct", "amortized"):
         remaining = total_budget - (time.perf_counter() - t_budget)
         if remaining < est_s.get(name, 300):
             extra[name] = {"skipped": "bench time budget"}
             continue
-        extra[name] = _run_secondary(name, timeout=min(900, remaining))
+        extra[name] = _run_secondary(name,
+                                     timeout=min(caps.get(name, 900),
+                                                 remaining))
     extra["solver_comparison_notes"] = (
         "scatter-PCG default; gather 26.5 it/s, banded-CG 45.6 it/s at "
         "the old 50-iters/call convention; banded DIRECT (superblock "

@@ -81,3 +81,8 @@ def test_banded_direct_path():
     out = bench.bench_banded_direct()
     assert out["value"] > 0
     assert out["chi2"] >= 0
+
+
+def test_relay_probe():
+    ms = bench._relay_probe_ms(n=3)
+    assert 0 <= ms < 60000
