@@ -501,10 +501,10 @@ SECONDARY = {
     # the reference's FULL frame budget WITH plane rescue active (1%
     # failure rate, lazy frame rendering) — the definitive flagship
     # artifact, captured by the default set when the tunnel-speed probe
-    # allows. Measured 2026-08-17 (v5e, warm, before the deferred-
-    # telemetry commit): 149.3 frames/sec, 269 rescues (158 ms each),
-    # 70.4x the host-stepped path — the whole gtsam_imuVN100_go.launch
-    # budget in three minutes on one chip. Same-day optimization
+    # allows. Measured 2026-08-17 (v5e, warm, full-default capture run):
+    # 170.0 frames/sec, 269 rescues, 70x the host-stepped path — the
+    # whole gtsam_imuVN100_go.launch budget in 2.6 minutes on one chip
+    # (149.3 before the deferred-telemetry commit). Same-day optimization
     # progression on the 200-frame config (identical chi2 every step):
     # 23.7 -> 33.3 (async host copies) -> 39.8 (body transforms ride the
     # fused program) -> 52.2 frames/sec (deferred telemetry reads).
@@ -515,6 +515,10 @@ SECONDARY = {
     # the reference's full frame budget (gtsam_imuVN100_go.launch:13) as
     # chunked scan dispatches sharing one compilation
     "vio_27k": lambda: bench_vio_replay(n_frames=27000),
+    "relay_probe": lambda: {"metric": "relay dispatch+read round trip "
+                                      "(clean process)",
+                            "value": round(_relay_probe_ms(), 1),
+                            "unit": "ms"},
     "gather_pcg": bench_gather_pcg,
     "banded": bench_banded,
     "banded_direct": bench_banded_direct,
@@ -542,11 +546,14 @@ def _run_secondary(name: str, timeout: float = 1200):
 
 
 def _relay_probe_ms(n: int = 5) -> float:
-    """Median dispatch+read round trip of a trivial program, run FIRST
-    (before any other compiled program) so it measures the clean tunnel.
-    ~50 ms on a typical day, ~20 on a fast one; used to decide whether
-    the 27k flagship fits the captured budget this run. Inputs vary per
-    call — identical executions are served from the relay cache."""
+    """Median dispatch+read round trip of a trivial program in a FRESH
+    process (the driver runs it via ``--single relay_probe`` in a
+    subprocess: executing ANY program in the main process before the
+    timed headline degrades the relay for the whole process — measured
+    2026-08-17, probe-first collapsed the headline 1000 -> 35 it/s).
+    ~34-50 ms on a typical day; decides whether the 27k flagship fits
+    the captured budget this run. Inputs vary per call — identical
+    executions are served from the relay cache."""
     probe = jax.jit(lambda x: x + 1.0)
     np.asarray(probe(jnp.zeros(4)))          # compile + first read
     ts = []
@@ -560,7 +567,6 @@ def _relay_probe_ms(n: int = 5) -> float:
 def main():
     from graph_slam_tpu.graph import gn_optimize, total_error
 
-    relay_ms = _relay_probe_ms()
     graph, values, _ = _sphere()
 
     def call(v):
@@ -622,8 +628,13 @@ def main():
     # slow tunnel the 200-frame flagship config is captured instead
     # (same engine, same rescue path, same fused-vs-host-stepped ratio).
     # Walls measured 2026-08-17 on a ~50 ms-probe day: vio_planes_27k
-    # ~1320 s, vio_planes ~950 s, ba_schur ~450 s.
-    extra["relay_probe_ms"] = round(relay_ms, 1)
+    # ~1320 s, vio_planes ~950 s, ba_schur ~450 s. The probe runs in its
+    # own subprocess AFTER the headline — a clean process measures the
+    # true tunnel, and nothing executes before the timed sections above.
+    probe = _run_secondary("relay_probe", timeout=300)
+    relay_ms = float(probe["value"]) if isinstance(probe, dict) \
+        and "value" in probe else 1e9
+    extra["relay_probe_ms"] = probe
     flagship = "vio_planes_27k" if relay_ms <= 120 else "vio_planes"
     if flagship != "vio_planes_27k":
         extra["vio_planes_27k"] = {
