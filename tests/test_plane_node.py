@@ -31,6 +31,8 @@ from graph_slam_tpu.planes import (
     extract_plane_node,
     oriented_plane,
     predict_plane_node,
+    predict_plane_node_finish,
+    predict_plane_node_start,
 )
 
 K = SR4000
@@ -245,6 +247,64 @@ class TestPredictPlaneNode:
                                  inten, depth)
         assert cur is not None and len(cur) >= 2
         assert np.all(cur.landmark_ids == -1)
+
+
+class TestAsyncPredict:
+    """The enqueue/finish pair must equal the sync ``predict_plane_node``
+    AND return body-frame projections aligned row-for-row with the merged
+    detection (the fused program computes them for ALL candidate rows;
+    ``_collect_prediction``'s src mapping gathers them through the
+    acceptance + overlap-merge bookkeeping)."""
+
+    def _prev_floor_only(self, inten, depth):
+        import dataclasses
+
+        det = extract_plane_node(jax.random.PRNGKey(0), K, inten, depth)
+        floor = min(range(len(det)), key=lambda p: det.counts[p])
+        return dataclasses.replace(
+            det,
+            params=det.params[floor:floor + 1],
+            cov=det.cov[floor:floor + 1],
+            masks=det.masks[floor:floor + 1],
+            counts=det.counts[floor:floor + 1],
+            landmark_ids=np.asarray([7], np.int64))
+
+    def _check(self, u2c):
+        from graph_slam_tpu.planes.association import transform_plane_cov
+
+        inten, depth = render(se3.identity(), noise=0.002)
+        # floor-only previous node: the async result must contain BOTH a
+        # propagated row (floor, lid 7) and a fresh row (wall, lid -1),
+        # exercising the src gather across the two sources
+        prev = self._prev_floor_only(inten, depth)
+        S = np.eye(6) * 1e-8
+        key = jax.random.PRNGKey(1)
+        sync = predict_plane_node(key, K, prev, se3.identity(), S,
+                                  inten, depth, u2c=u2c)
+        handle = predict_plane_node_start(
+            key, K, prev, jnp.eye(3), jnp.zeros(3), jnp.eye(3),
+            jnp.zeros(3), jnp.asarray(S), inten, depth, u2c=u2c)
+        det, (pbs, cbs) = predict_plane_node_finish(handle)
+        assert det is not None and sync is not None
+        assert len(det) == len(sync)
+        assert list(det.landmark_ids) == list(sync.landmark_ids)
+        assert 7 in list(det.landmark_ids) and -1 in list(det.landmark_ids)
+        np.testing.assert_allclose(det.params, sync.params, atol=1e-8)
+        # alignment: row p's projection == transform of row p's plane
+        u2c_inv = se3.inverse(u2c) if u2c is not None else se3.identity()
+        for p in range(len(det)):
+            pb, cb = transform_plane_cov(jnp.asarray(det.params[p]),
+                                         jnp.asarray(det.cov[p]), u2c_inv)
+            np.testing.assert_allclose(pbs[p], np.asarray(pb), atol=1e-8)
+            np.testing.assert_allclose(cbs[p], np.asarray(cb), atol=1e-8)
+
+    def test_matches_sync_identity_extrinsic(self):
+        self._check(u2c=None)
+
+    def test_matches_sync_with_extrinsic(self):
+        from graph_slam_tpu.core import extrinsics
+
+        self._check(u2c=extrinsics.camera_to_imu(0.0))
 
 
 class TestVioFramesRescue:
