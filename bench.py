@@ -559,8 +559,8 @@ def _relay_probe_ms(n: int = 5) -> float:
     ts = []
     for k in range(n):
         t0 = time.perf_counter()
-        np.asarray(probe(jnp.full(4, float(k))))
-        ts.append((time.perf_counter() - t0) * 1e3)
+        np.asarray(probe(jnp.full(4, float(k + 1))))   # k+1: the warmup
+        ts.append((time.perf_counter() - t0) * 1e3)    # already ran 0.0
     return sorted(ts)[n // 2]
 
 
@@ -631,20 +631,23 @@ def main():
     # ~1320 s, vio_planes ~950 s, ba_schur ~450 s. The probe runs in its
     # own subprocess AFTER the headline — a clean process measures the
     # true tunnel, and nothing executes before the timed sections above.
+    t_budget = time.perf_counter()     # probe wall counts against the
+    #                                    same driver-facing budget
     probe = _run_secondary("relay_probe", timeout=300)
-    relay_ms = float(probe["value"]) if isinstance(probe, dict) \
-        and "value" in probe else 1e9
+    probe_ok = isinstance(probe, dict) and "value" in probe
+    relay_ms = float(probe["value"]) if probe_ok else 1e9
     extra["relay_probe_ms"] = probe
     flagship = "vio_planes_27k" if relay_ms <= 120 else "vio_planes"
     if flagship != "vio_planes_27k":
         extra["vio_planes_27k"] = {
             "skipped": f"relay probe {relay_ms:.0f} ms/call — tunnel too "
-                       "slow for the 27k config this run"}
+                       "slow for the 27k config this run"} if probe_ok \
+            else {"skipped": "relay probe failed — falling back to the "
+                             "200-frame flagship config"}
     est_s = {"vio_planes_27k": 1500, "vio_planes": 1000, "ba_schur": 500,
              "banded_direct": 300, "amortized": 300}
     caps = {"vio_planes_27k": 1900, "vio_planes": 1300, "ba_schur": 900,
             "banded_direct": 700, "amortized": 700}
-    t_budget = time.perf_counter()
     total_budget = 3400.0     # secondaries ~36 min on a typical day +
     #                           the headline ≈ the r2 driver capture wall
     for name in (flagship, "ba_schur", "banded_direct", "amortized"):

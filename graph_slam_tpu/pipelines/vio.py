@@ -195,16 +195,7 @@ class _OnlineVioGraph:
 
     def add_planes_batch(self, ps) -> int:
         """Append many landmarks with ONE device write (rescue flush)."""
-        ps = [np.asarray(p) for p in ps]
-        if not ps:
-            return self.og.num_planes
-        lid0 = self.og.num_planes
-        cap = self.og.values.plane.shape[0]
-        if lid0 + len(ps) > cap:
-            self.og.grow(plane_var_cap=max(8, 2 * cap, lid0 + len(ps)))
-        self.og.set_planes(np.arange(lid0, lid0 + len(ps)), np.stack(ps))
-        self._planes.extend(ps)
-        return lid0
+        return _append_planes_batch(self.og, self._planes, ps)
 
     def set_pose(self, idx, Rt):
         self.og.set_pose(idx, se3.Pose(jnp.asarray(Rt[0]),
@@ -251,6 +242,22 @@ class _OnlineVioGraph:
 
 def _NULL_TIMER(_phase):
     return contextlib.nullcontext()
+
+
+def _append_planes_batch(og, planes_list, ps) -> int:
+    """Append many plane landmarks to an OnlineGraph arena with ONE
+    device write (the rescue flush), growing past capacity and mirroring
+    the host-side list. Shared by both engines' plane writers."""
+    ps = [np.asarray(p) for p in ps]
+    if not ps:
+        return og.num_planes
+    lid0 = og.num_planes
+    cap = og.values.plane.shape[0]
+    if lid0 + len(ps) > cap:
+        og.grow(plane_var_cap=max(8, 2 * cap, lid0 + len(ps)))
+    og.set_planes(np.arange(lid0, lid0 + len(ps)), np.stack(ps))
+    planes_list.extend(ps)
+    return lid0
 
 
 def _start_host_copies(*objs) -> None:
@@ -425,9 +432,12 @@ class _PlaneStack:
         if not staged:
             return
         lids = [lid for lid, _ in staged]
-        assert lids[0] == len(self.b._planes) and \
-            lids == list(range(lids[0], lids[0] + len(lids))), \
-            "staged landmark order broke the arena append invariant"
+        if lids[0] != len(self.b._planes) or \
+                lids != list(range(lids[0], lids[0] + len(lids))):
+            # hard error (not assert: must survive python -O) — writing
+            # past this corrupts factor-row -> landmark-slot addressing
+            raise RuntimeError(
+                "staged landmark order broke the arena append invariant")
         batch = getattr(self.b, "add_planes_batch", None)
         if batch is not None:
             batch([p for _, p in staged])
@@ -839,16 +849,7 @@ class _ScanPlaneWriter:
 
     def add_planes_batch(self, ps) -> int:
         """Append many landmarks with ONE device write (rescue flush)."""
-        ps = [np.asarray(p) for p in ps]
-        if not ps:
-            return self.og.num_planes
-        lid0 = self.og.num_planes
-        cap = self.og.values.plane.shape[0]
-        if lid0 + len(ps) > cap:
-            self.og.grow(plane_var_cap=max(8, 2 * cap, lid0 + len(ps)))
-        self.og.set_planes(np.arange(lid0, lid0 + len(ps)), np.stack(ps))
-        self._planes.extend(ps)
-        return lid0
+        return _append_planes_batch(self.og, self._planes, ps)
 
     def add_plane_factor(self, pose_idx, plane_idx, meas, **noise):
         cap = self.og.graph.plane.pose_idx.shape[0]

@@ -275,8 +275,7 @@ def _rescue_predict_program(K: CameraIntrinsics, key, planes_i, S_ni, S_di,
     kernel without blocking on any result read — the between-pose, the
     u2c conjugation (gtsam_graph.cpp:879-883), the batched propagation
     and the coverage-gated fresh extraction all pipeline behind the
-    kernel on device. Also returns ``trace(S66[:3,:3])`` so the host's
-    gating scalar rides the same read.
+    kernel on device.
     """
     T_body = se3.between(se3.Pose(pre_R, pre_t), se3.Pose(est_R, est_t))
     u2c = se3.Pose(u2c_R, u2c_t)
@@ -299,7 +298,7 @@ def _rescue_predict_program(K: CameraIntrinsics, key, planes_i, S_ni, S_di,
     tf = jax.vmap(lambda p, c: transform_plane_cov(p, c, u2c_inv))
     pb_p, cb_p = tf(res.plane, res.cov)
     pb_f, cb_f = tf(fresh.params, fresh.cov)
-    return res, fresh, (pb_p, cb_p, pb_f, cb_f), jnp.trace(S66[:3, :3])
+    return res, fresh, (pb_p, cb_p, pb_f, cb_f)
 
 
 def predict_plane_node(key, K: CameraIntrinsics,
@@ -468,8 +467,12 @@ def predict_plane_node_start(key, K: CameraIntrinsics,
     of the VIO kernel — the between-pose and covariance conjugation run
     on device, so the caller can enqueue this right after the kernel and
     overlap the host's association work with the device's propagation.
-    ``prev`` must be non-empty. Finish with
-    :func:`predict_plane_node_finish`.
+    ``prev`` must be non-empty, and is captured BY REFERENCE: its
+    ``landmark_ids`` are read only at finish time, so a caller may
+    resolve them between start and finish (the rescue host step inserts
+    the pre-node detection — which writes its associated ids in place —
+    while the device computes, and the propagated rows then carry the
+    resolved ids). Finish with :func:`predict_plane_node_finish`.
     """
     depth = jnp.asarray(depth)
     intensity = jnp.asarray(intensity)
@@ -479,7 +482,7 @@ def predict_plane_node_start(key, K: CameraIntrinsics,
     conjugate = u2c is not None
     uR = jnp.asarray(u2c.R) if conjugate else jnp.eye(3, dtype=jnp.float64)
     ut = jnp.asarray(u2c.t) if conjugate else jnp.zeros(3, jnp.float64)
-    res, fresh, tbody, tr = _rescue_predict_program(
+    res, fresh, tbody = _rescue_predict_program(
         K, key, jnp.asarray(prev.params),
         jnp.asarray(np.stack([s for s, _ in nv])),
         jnp.asarray(np.asarray([d for _, d in nv])),
@@ -490,7 +493,7 @@ def predict_plane_node_start(key, K: CameraIntrinsics,
         uR, ut, conjugate, intensity, depth, grow_steps, keep_ratio,
         coverage_thresh, max_new_planes, min_support, 0.02, sigma_z,
         z_min, z_max)
-    return (prev, res, fresh, tbody, tr, h, w, coverage_thresh)
+    return (prev, res, fresh, tbody, h, w, coverage_thresh)
 
 
 def predict_plane_node_finish(handle):
@@ -503,7 +506,7 @@ def predict_plane_node_finish(handle):
     acceptance/merge bookkeeping) — the caller inserts the detection's
     factors without dispatching any transform of its own. Both are None
     when nothing was predicted."""
-    prev, res, fresh, tbody, _tr, h, w, coverage_thresh = handle
+    prev, res, fresh, tbody, h, w, coverage_thresh = handle
     det, src = _collect_prediction(prev, res, fresh, h, w,
                                    coverage_thresh, return_src=True)
     if det is None:
