@@ -241,7 +241,13 @@ def cmd_delete_vo(args):
             return cache[seq]
 
         rows = check_vo_edges(log, planes_of)
-        scores = np.asarray([r[3] for r in rows])
+        # rows cover VALID edges only (failed-sentinel records are
+        # skipped) — align scores to log rows by edge id, like the
+        # --scores path, instead of by compacted position
+        by_edge = {(r[0], r[1]): float(r[3]) for r in rows}
+        scores = np.asarray([
+            by_edge.get((int(t), int(f)), 0.0)
+            for t, f in zip(log.id_to, log.id_from)])
     out = delete_vo_by_plane_check(log, scores, args.thresh)
     write_vro_log(args.out, out)
     n_void = int((~out.valid & log.valid).sum())
@@ -266,7 +272,8 @@ def cmd_add_vo_sparse(args):
         f = feat(s)
         counts[s] = 0 if f is None else int(np.asarray(f.valid).sum())
     matcher = make_frame_matcher(store, K,
-                                 max_features=args.max_features)
+                                 max_features=args.max_features,
+                                 feature_cache=feat)
     out = add_vo_at_sparse_area(log, counts, matcher, window=args.window,
                                 sparse_thresh=args.sparse_thresh)
     write_vro_log(args.out, out)

@@ -78,9 +78,6 @@ class VioConfig:
     # scan-engine chunking: records per compiled scan dispatch (one
     # compilation shared by all chunks; bounds device program run length)
     scan_chunk: int = 4096
-    # opt-in per-chunk chi2 records (costs one extra program between chunk
-    # dispatches, which degrades remote-relay throughput)
-    chunk_chi2_log: bool = False
     # incremental execution engine:
     # "online"  — preallocated OnlineGraph arenas + jitted row appenders; no
     #             host rebuilds, the optimizer never recompiles mid-run (the
@@ -138,7 +135,46 @@ class VioResult:
     timers: Optional[dict] = None  # PhaseTimer.summary()
 
 
-class _OnlineVioGraph:
+class _PlaneWriterMixin:
+    """The plane-landmark/plane-factor writer surface over a live
+    OnlineGraph (``self.og``) with a host-side mirror (``self._planes``).
+    ONE copy of the capacity-growth policy, shared by both engines'
+    writers — the growth/normalization behavior must never diverge
+    between the online and scan rescue paths."""
+
+    def add_plane(self, p) -> int:
+        lid = self.og.num_planes
+        cap = self.og.values.plane.shape[0]
+        if lid >= cap:
+            # bucket-crossing growth (the OnlineSlam._ensure_capacity
+            # pattern): a long plane-heavy run re-homes the arena instead
+            # of dying on the set_plane capacity guard
+            self.og.grow(plane_var_cap=max(8, 2 * cap))
+        self.og.set_plane(lid, p)
+        self._planes.append(np.asarray(p))
+        return lid
+
+    def add_planes_batch(self, ps) -> int:
+        """Append many landmarks with ONE device write (rescue flush)."""
+        return _append_planes_batch(self.og, self._planes, ps)
+
+    def add_plane_factor(self, pose_idx, plane_idx, meas, **noise):
+        cap = self.og.graph.plane.pose_idx.shape[0]
+        if self.og._n["plane"] >= cap:
+            self.og.grow(factor_caps={"plane": max(64, 2 * cap)})
+        self.og.add_plane_factor(pose_idx, plane_idx, meas,
+                                 _sqrt_info(3, **noise))
+
+    def add_plane_factors_batch(self, pose_idx, plane_idx, meas,
+                                sqrt_info):
+        cap = self.og.graph.plane.pose_idx.shape[0]
+        if self.og._n["plane"] + len(pose_idx) > cap:
+            self.og.grow(factor_caps={
+                "plane": max(64, 2 * cap, cap + len(pose_idx))})
+        self.og.add_plane_factors(pose_idx, plane_idx, meas, sqrt_info)
+
+
+class _OnlineVioGraph(_PlaneWriterMixin):
     """GraphBuilder-shaped facade over preallocated OnlineGraph arenas.
 
     Lets ``run_vio`` drive the zero-recompile online engine through the
@@ -181,22 +217,6 @@ class _OnlineVioGraph:
         self.og.set_bias(bid, b)
         return bid
 
-    def add_plane(self, p) -> int:
-        lid = self.og.num_planes
-        cap = self.og.values.plane.shape[0]
-        if lid >= cap:
-            # bucket-crossing growth (the OnlineSlam._ensure_capacity
-            # pattern): a long plane-heavy run re-homes the arena instead
-            # of dying on the set_plane capacity guard
-            self.og.grow(plane_var_cap=max(8, 2 * cap))
-        self.og.set_plane(lid, p)
-        self._planes.append(np.asarray(p))
-        return lid
-
-    def add_planes_batch(self, ps) -> int:
-        """Append many landmarks with ONE device write (rescue flush)."""
-        return _append_planes_batch(self.og, self._planes, ps)
-
     def set_pose(self, idx, Rt):
         self.og.set_pose(idx, se3.Pose(jnp.asarray(Rt[0]),
                                        jnp.asarray(Rt[1])), new=False)
@@ -224,20 +244,6 @@ class _OnlineVioGraph:
 
     def add_imu_factor(self, i, j, preint, gravity):
         self.og.add_imu_factor(i, j, preint, gravity)
-
-    def add_plane_factor(self, pose_idx, plane_idx, meas, **noise):
-        cap = self.og.graph.plane.pose_idx.shape[0]
-        if self.og._n["plane"] >= cap:
-            self.og.grow(factor_caps={"plane": max(64, 2 * cap)})
-        self.og.add_plane_factor(pose_idx, plane_idx, meas,
-                                 _sqrt_info(3, **noise))
-
-    def add_plane_factors_batch(self, pose_idx, plane_idx, meas, sqrt_info):
-        cap = self.og.graph.plane.pose_idx.shape[0]
-        if self.og._n["plane"] + len(pose_idx) > cap:
-            self.og.grow(factor_caps={
-                "plane": max(64, 2 * cap, cap + len(pose_idx))})
-        self.og.add_plane_factors(pose_idx, plane_idx, meas, sqrt_info)
 
 
 def _NULL_TIMER(_phase):
@@ -825,7 +831,7 @@ def _expmap_batch(xi):
     return T.R, T.t
 
 
-class _ScanPlaneWriter:
+class _ScanPlaneWriter(_PlaneWriterMixin):
     """_PlaneStack writer over the scan engine's live OnlineGraph.
 
     The scan's VO/IMU rows occupy host-precomputed slots (the scan never
@@ -837,33 +843,6 @@ class _ScanPlaneWriter:
     def __init__(self, og: OnlineGraph):
         self.og = og
         self._planes: list = []
-
-    def add_plane(self, p) -> int:
-        lid = self.og.num_planes
-        cap = self.og.values.plane.shape[0]
-        if lid >= cap:
-            self.og.grow(plane_var_cap=max(8, 2 * cap))
-        self.og.set_plane(lid, p)
-        self._planes.append(np.asarray(p))
-        return lid
-
-    def add_planes_batch(self, ps) -> int:
-        """Append many landmarks with ONE device write (rescue flush)."""
-        return _append_planes_batch(self.og, self._planes, ps)
-
-    def add_plane_factor(self, pose_idx, plane_idx, meas, **noise):
-        cap = self.og.graph.plane.pose_idx.shape[0]
-        if self.og._n["plane"] >= cap:
-            self.og.grow(factor_caps={"plane": max(64, 2 * cap)})
-        self.og.add_plane_factor(pose_idx, plane_idx, meas,
-                                 _sqrt_info(3, **noise))
-
-    def add_plane_factors_batch(self, pose_idx, plane_idx, meas, sqrt_info):
-        cap = self.og.graph.plane.pose_idx.shape[0]
-        if self.og._n["plane"] + len(pose_idx) > cap:
-            self.og.grow(factor_caps={
-                "plane": max(64, 2 * cap, cap + len(pose_idx))})
-        self.og.add_plane_factors(pose_idx, plane_idx, meas, sqrt_info)
 
 
 def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,

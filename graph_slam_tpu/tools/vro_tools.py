@@ -141,17 +141,22 @@ def propose_sparse_area_edges(feature_counts: dict, window: int = 5,
     return sorted(set(out))
 
 
-def make_frame_matcher(frames, K, seed: int = 0, max_features: int = 256):
+def make_frame_matcher(frames, K, seed: int = 0, max_features: int = 256,
+                       feature_cache=None):
     """Self-contained ``matcher`` for ``add_vo_at_sparse_area``: extract
     features lazily per frame, match with the batched RANSAC frontend, and
     return ``(xi, info)`` for validated pairs (test_match_two_frames role).
+    ``feature_cache`` reuses an existing ``make_feature_cache`` closure so
+    a caller that already extracted features (the sparse-count pass of the
+    CLI driver) doesn't pay extraction twice per frame.
     """
     import jax
     import jax.numpy as jnp
 
     from ..vision.frontend import make_feature_cache, match_frames_device
 
-    feat = make_feature_cache(frames, K, max_features=max_features)
+    feat = feature_cache if feature_cache is not None else \
+        make_feature_cache(frames, K, max_features=max_features)
     keyring = [jax.random.PRNGKey(seed)]
 
     def matcher(id_from, id_to):

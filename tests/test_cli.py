@@ -138,6 +138,35 @@ class TestCliEndToEnd:
         added = read_vro_log(out_add)
         assert len(added) >= len(read_vro_log(vro_path))
 
+    def test_delete_vo_frames_with_failed_edge(self, scenario):
+        """delete-vo --frames on a log CONTAINING a failed-sentinel record
+        (the normal case for real logs): check_vo_edges skips invalid
+        rows, so the scores must align to log rows by edge id, not by
+        compacted position (regression: misaligned voiding/IndexError)."""
+        from graph_slam_tpu.io import read_vro_log, write_vro_log
+        from graph_slam_tpu.io.vro_log import FAILED_INFO_SENTINEL, VROLog
+
+        root, frames_dir, vro_path, xs = scenario
+        log = read_vro_log(vro_path)
+        bad = np.eye(6)
+        bad[0, 0] = FAILED_INFO_SENTINEL
+        # failed record FIRST, so every valid row sits after it
+        mixed = VROLog(np.concatenate([[1], log.id_to]),
+                       np.concatenate([[0], log.id_from]),
+                       np.concatenate([np.zeros((1, 6)), log.xi]),
+                       np.concatenate([bad[None], log.info]))
+        mixed_path = str(root / "vro_failed.log")
+        write_vro_log(mixed_path, mixed)
+        out_del = str(root / "vro_del_failed.log")
+        stdout = run_cli("delete-vo", "--vro", mixed_path,
+                         "--frames", frames_dir, "--thresh", "-1.0",
+                         "--out", out_del)
+        assert "voided" in stdout
+        voided = read_vro_log(out_del)
+        # every VALID edge scored > -1 and was voided; the failed record
+        # itself is untouched (still exactly one sentinel row + others)
+        assert (~voided.valid).all()
+
     def test_ba_imu(self, scenario):
         root, frames_dir, vro_path, xs = scenario
         stdout = run_cli("ba-imu", "--frames", frames_dir,
