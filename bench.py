@@ -564,8 +564,34 @@ def _relay_probe_ms(n: int = 5) -> float:
     return sorted(ts)[n // 2]
 
 
+def _backend_alive(timeout: float = 240) -> bool:
+    """Initialize the device backend in a FRESH subprocess with a hard
+    timeout. The axon tunnel can go down for hours (observed 2026-08-17:
+    init neither fails nor returns — it hangs); without this gate the
+    whole bench would hang past the driver's patience and record
+    nothing. A subprocess that exits before the parent touches the
+    backend cannot perturb the parent's relay."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout)
+        return out.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     from graph_slam_tpu.graph import gn_optimize, total_error
+
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": f"GN iterations/sec on sphere{N_POSES} SE(3) pose "
+                      f"graph (PCG-{PCG_ITERS} solver)",
+            "value": 0.0, "unit": "GN iters/sec", "vs_baseline": 0.0,
+            "extra": {"error": "device backend unavailable (init hung "
+                               "past 240 s in a probe subprocess) — "
+                               "tunnel outage, not a code failure"}}))
+        return
 
     graph, values, _ = _sphere()
 
