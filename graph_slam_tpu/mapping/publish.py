@@ -140,33 +140,55 @@ def serve_pointcloud(points, colors=None, host: str = "127.0.0.1",
         port_out.append(bound)
     if ready is not None:
         ready.set()
-    subs: list[socket.socket] = []
+    # Non-blocking sends with a per-subscriber byte queue: a stalled
+    # subscriber cannot head-of-line-block the publish loop for the
+    # others. A subscriber whose backlog exceeds MAX_BACKLOG_FRAMES
+    # unsent frames is dropped.
+    MAX_BACKLOG_FRAMES = 4
+    subs: dict = {}               # socket -> bytearray (unsent backlog)
     cycles = 0
     next_pub = time.monotonic()
+
+    def _flush(frame_len: int) -> None:
+        for s in list(subs):
+            q = subs[s]
+            if not q:
+                continue
+            if frame_len and len(q) > MAX_BACKLOG_FRAMES * frame_len:
+                s.close()
+                del subs[s]
+                continue
+            try:
+                sent = s.send(bytes(q))
+                del q[:sent]
+            except (BlockingIOError, InterruptedError):
+                pass
+            except OSError:
+                s.close()
+                del subs[s]
+
+    frame_len = 0
     try:
         while (max_cycles is None or cycles < max_cycles) and (
                 stop is None or not stop.is_set()):
             try:
                 conn, _ = srv.accept()
-                conn.settimeout(5.0)
-                subs.append(conn)
+                conn.setblocking(False)
+                subs[conn] = bytearray()
             except socket.timeout:
                 pass
             now = time.monotonic()
             if now < next_pub:
+                _flush(frame_len)  # drain partial sends between publishes
                 continue
             next_pub = now + period
             msg = encode_pointcloud2(points, colors, frame_id=frame_id,
                                      stamp=time.time())
             framed = struct.pack("<I", len(msg)) + msg
-            alive = []
-            for s in subs:
-                try:
-                    s.sendall(framed)
-                    alive.append(s)
-                except OSError:
-                    s.close()
-            subs = alive
+            frame_len = len(framed)
+            for q in subs.values():
+                q += framed
+            _flush(frame_len)
             cycles += 1
     finally:
         for s in subs:

@@ -133,6 +133,7 @@ class VioResult:
     plane_book: Optional[PlaneLandmarkBook]
     chi2_log: object = None       # utils.profiling.Chi2Log
     timers: Optional[dict] = None  # PhaseTimer.summary()
+    plane_stack: object = None    # _PlaneStack (white-box tests/telemetry)
 
 
 class _PlaneWriterMixin:
@@ -536,11 +537,15 @@ class _PlaneStack:
 
         # -- resolve the pre-node detection (host bookkeeping only) ------
         pre_det = self.plane_nodes.get(pre_gid)
+        # Always consume the pre-extracted entry: if the pre-node already
+        # became a plane node (e.g. it was a prior rescue's current node),
+        # its pending detection would otherwise leak frame-sized masks for
+        # the rest of the run.
+        pre_cached = self.pending.pop(pre_gid, None)
         pre_fresh = None          # detection whose factors are not in yet
         if pre_det is None:
-            pre_fresh = self.pending.pop(pre_gid, None)
-            if pre_fresh is None:
-                pre_fresh = self._extract(pre_seq)
+            pre_fresh = pre_cached if pre_cached is not None \
+                else self._extract(pre_seq)
             pre_det = pre_fresh
         fr = self.frames(seq_to)
 
@@ -1098,7 +1103,7 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
         free_from=np.zeros(5, np.int32))
     noop["dts"][0] = imu.dt
 
-    # chunk shapes: full scan_chunk plus power-of-two tails (>= 64), so the
+    # chunk shapes: full scan_chunk plus power-of-two tails (>= 16), so the
     # segment split around rescue records compiles a BOUNDED set of
     # programs instead of one per segment length; pad rows are no-ops on
     # the reserved dummy slots
@@ -1253,7 +1258,8 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
                      n_imu_factors=n_imu_rows, n_vo_edges=n_vo,
                      n_plane_factors=stack.n_plane if stack else 0,
                      plane_book=stack.book if stack else None,
-                     chi2_log=chi2_log, timers=pt.summary())
+                     chi2_log=chi2_log, timers=pt.summary(),
+                     plane_stack=stack)
 
 
 def run_vio(log: VROLog, img_times, imu: ImuStream,
@@ -1583,4 +1589,5 @@ def run_vio(log: VROLog, img_times, imu: ImuStream,
                      n_imu_factors=n_imu, n_vo_edges=n_vo,
                      n_plane_factors=stack.n_plane if stack else 0,
                      plane_book=book,
-                     chi2_log=chi2_log, timers=pt.summary())
+                     chi2_log=chi2_log, timers=pt.summary(),
+                     plane_stack=stack)

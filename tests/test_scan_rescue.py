@@ -69,6 +69,40 @@ class TestScanPlaneRescue:
             np.testing.assert_allclose(np.asarray(res_sc.values.pose_t[f]),
                                        np.asarray(X[f].t), atol=2e-2)
 
+    def test_scan_rescue_adjacent_failures_consume_pending(self):
+        """Back-to-back failed records: the second rescue's source is the
+        first rescue's current node. Its pre-extracted pending detection
+        must be CONSUMED either way (it used to leak frame-sized masks for
+        the run's lifetime when the source was already a plane node)."""
+        from test_plane_node import (FAILED_INFO_SENTINEL, K,
+                                     simulate_frames)
+
+        log, img_times, stream, params, X, frames = simulate_frames(
+            n_frames=9, fail_frame=4)
+        # mark frame 5's record failed as well -> adjacent rescues
+        k = int(np.flatnonzero(np.asarray(log.id_to) == 5)[0])
+        log.xi[k] = 0.0
+        log.info[k] = np.eye(6) * FAILED_INFO_SENTINEL
+
+        kw = dict(plane_mode="rescue", optimize_step=4, max_imu_window=64,
+                  bucket=16, window=4, seed=0)
+        res_on = run_vio(log, img_times, stream, params,
+                         frames=frames.get, intrinsics=K,
+                         cfg=VioConfig(engine="online", **kw))
+        res_sc = run_vio(log, img_times, _clone(stream), params,
+                         frames=frames.get, intrinsics=K,
+                         cfg=VioConfig(engine="scan", **kw))
+        # both rescues fired with identical bookkeeping across engines
+        assert res_sc.n_plane_factors >= 4
+        assert res_sc.n_plane_factors == res_on.n_plane_factors
+        assert len(res_sc.plane_book.world) == len(res_on.plane_book.world)
+        # every precomputed detection was consumed: no leaked masks
+        assert res_sc.plane_stack.pending == {}
+        n = len(res_on.seq_ids)
+        np.testing.assert_allclose(np.asarray(res_sc.values.pose_t[:n]),
+                                   np.asarray(res_on.values.pose_t[:n]),
+                                   atol=5e-3)
+
     def test_scan_rescue_in_scan_chi2_telemetry(self):
         from test_plane_node import K, simulate_frames
 
