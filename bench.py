@@ -94,7 +94,6 @@ def _structural_flops_per_gn_iter(graph, pcg_iters):
     gradient, and the retract. Linearization itself (analytic between
     Jacobians) is ~2k flops/factor.
     """
-    import numpy as np
 
     F = int(np.asarray(graph.between.active).sum())
     e, td = 6, 12
@@ -157,7 +156,6 @@ def bench_ba_schur():
     # structural FLOPs of one BA GN iteration: F projection rows, e=2
     # residual dims, td=9 tangent cols (6 pose + 3 point); J^T J outer
     # products + 25 CG matvecs + linearization (projection jacfwd ~3k)
-    import numpy as np
 
     F = int(np.asarray(graph.projection.active).sum())
     e_, td = 2, 9
@@ -195,7 +193,6 @@ def bench_vio_replay(n_frames: int = 500):
     number is device throughput, not tunnel dispatch rate; the per-frame
     online engine measured 13.6 frames/sec on the same workload, capped
     by the ~75 ms/dispatch relay)."""
-    import numpy as np
     from graph_slam_tpu.core import se3
     from graph_slam_tpu.imu import (ImuStream, init_preint,
                                     integrate_segment, predict_navstate,
@@ -494,8 +491,65 @@ def bench_banded():
             "unit": "GN iters/sec", "band_halfwidth": W}
 
 
+def bench_ba_sqrt():
+    """10k-landmark BA via square-root (QR) Schur elimination — the
+    f32-stable EXACT landmark elimination (ba_solve.ba_gn_optimize_sqrt).
+
+    Unlike the normal-equations Schur (f64-only: cancellation) and the
+    matrix-free PCG (approximate steps, tiny non-MXU blocks), this path is
+    exact AND f32 AND assembles the reduced camera system as (C*nred, Dp)
+    dense matmuls — the MXU-dense BA formulation. Reports ms per GN
+    iteration, a structural FLOP estimate, and MFU.
+    """
+    from collections import namedtuple
+
+    from graph_slam_tpu.datasets import make_ba_graph
+    from graph_slam_tpu.graph import total_error
+    from graph_slam_tpu.graph.ba_solve import _ba_sqrt_jit, build_point_obs
+    from graph_slam_tpu.graph.variables import layout_of
+
+    graph, values, _ = make_ba_graph(n_poses=100, n_points=10000,
+                                     obs_per_point=4, seed=0,
+                                     dtype=jnp.float32, bucket=256)
+    lay = layout_of(values)
+    # host tables built ONCE (static sparsity), outside the timed calls
+    tabs = [jnp.asarray(t) for t in
+            build_point_obs(graph, lay.point_cap)]
+    iters = 8            # exact steps: converged well before 8
+    Res = namedtuple("Res", "values error")
+
+    def call(v):
+        vals, err = _ba_sqrt_jit(graph, v, *tabs, iterations=iters,
+                                 damping=1e-4, chunk=2048)
+        return Res(vals, err)
+
+    dt, res = _chained_time(call, values, n_calls=2)
+    e0 = float(total_error(graph, values))   # AFTER the timed section
+    ef = float(res.error)
+    out = {"metric": "BA sqrt-Schur ms/GN-iter (100 poses, 10k landmarks, "
+                     "~40k projections, f32 exact elimination)",
+           "unit": "ms/iter",
+           "value": round(dt / (2 * iters) * 1e3, 3),
+           "chi2_0": e0, "chi2_final": ef}
+    assert ef < 0.1 * e0, f"sqrt-Schur failed to converge: {e0} -> {ef}"
+
+    # structural FLOPs: S-assembly matmuls 2*(Pq*nred)*Dp^2 dominate;
+    # per-landmark QR ~2*n^2*m; reduced Cholesky Dp^3/3
+    Pq, K = int(tabs[0].shape[0]), int(tabs[0].shape[1])
+    nred, n = 2 * K + 3, 6 * K + 4
+    Dp = lay.point_off
+    flops_iter = (2 * Pq * nred * Dp * Dp
+                  + Pq * 2 * n * n * (2 * K + 6)
+                  + Dp ** 3 // 3)
+    out["flops_per_iter_est"] = flops_iter
+    out["mfu_pct"] = round(
+        100.0 * flops_iter / (out["value"] * 1e-3) / PEAK_F32_FLOPS, 3)
+    return out
+
+
 SECONDARY = {
     "ba_schur": bench_ba_schur,
+    "ba_sqrt": bench_ba_sqrt,
     "vio_replay": bench_vio_replay,
     "vio_planes": bench_vio_planes,
     # the reference's FULL frame budget WITH plane rescue active (1%
@@ -671,12 +725,13 @@ def main():
             else {"skipped": "relay probe failed — falling back to the "
                              "200-frame flagship config"}
     est_s = {"vio_planes_27k": 1500, "vio_planes": 1000, "ba_schur": 500,
-             "banded_direct": 300, "amortized": 300}
+             "ba_sqrt": 350, "banded_direct": 300, "amortized": 300}
     caps = {"vio_planes_27k": 1900, "vio_planes": 1300, "ba_schur": 900,
-            "banded_direct": 700, "amortized": 700}
+            "ba_sqrt": 700, "banded_direct": 700, "amortized": 700}
     total_budget = 3400.0     # secondaries ~36 min on a typical day +
     #                           the headline ≈ the r2 driver capture wall
-    for name in (flagship, "ba_schur", "banded_direct", "amortized"):
+    for name in (flagship, "ba_schur", "ba_sqrt", "banded_direct",
+                 "amortized"):
         remaining = total_budget - (time.perf_counter() - t_budget)
         if remaining < est_s.get(name, 300):
             extra[name] = {"skipped": "bench time budget"}

@@ -14,9 +14,10 @@ stress benchmark.
 
 Precision note: the reduction cancels catastrophically in pure f32, so it
 runs in f64 when x64 is enabled (CPU/offline parity runs). On f32-only
-accelerator runs prefer the matrix-free PCG path (``gn_optimize(solver=
-"pcg")``) — its Hessian-vector products never form the cancelling
-difference and stay f32-stable.
+accelerators use ``ba_gn_optimize_sqrt`` — the square-root (QR) form of
+the same elimination, which assembles the reduced system from
+orthogonally-projected rows and never forms the cancelling difference —
+or the matrix-free PCG path (``gn_optimize(solver="pcg")``).
 """
 
 from __future__ import annotations
@@ -30,7 +31,8 @@ from . import factors as F
 from .factors import FactorGraph, total_error
 from .variables import VariableArena, layout_of, retract_all, used_slot_mask
 
-__all__ = ["schur_gn_step", "ba_gn_optimize"]
+__all__ = ["schur_gn_step", "ba_gn_optimize",
+           "build_point_obs", "sqrt_schur_gn_step", "ba_gn_optimize_sqrt"]
 
 
 def _nonpoint_blocks(graph: FactorGraph, values: VariableArena, lay):
@@ -149,6 +151,246 @@ def ba_gn_optimize(graph: FactorGraph, values: VariableArena,
     def body(vals, _):
         return schur_gn_step(graph, vals,
                              jnp.asarray(damping, vals.pose_t.dtype)), None
+
+    values, _ = jax.lax.scan(body, values, None, length=iterations)
+    return values, total_error(graph, values)
+
+
+# ---------------------------------------------------------------------------
+# Square-root (QR) Schur elimination — the f32-stable, MXU-dense variant.
+#
+# The normal-equations reduction above forms S = A - U L^-1 U^T, whose two
+# terms are ~1e10-1e13 for pixel-whitened BA while S itself is orders
+# smaller — catastrophic cancellation in f32. The square-root form never
+# forms that difference: each landmark's observation rows are stacked as
+#
+#     M_q = [ J_q (2K x 3) | J_p blockdiag (2K x 6K) | r (2K x 1) ]
+#           [ prior rows: J_pr | 0 | r_pr                         ]
+#           [ sqrt(lambda) I_3 | 0 | 0      (damping-guard rows)  ]
+#
+# and ONE thin QR per landmark (vmapped; multifrontal elimination,
+# cf. GTSAM's sequential elimination on Q() landmarks,
+# /root/reference/gtsam/gtsam_graph.cpp:370-448) splits it into the
+# landmark rows R[:3] (kept for back-substitution) and ORTHOGONALLY
+# REDUCED pose rows R[3:, 3:]. The reduced camera Hessian is assembled as
+# sums of PSD outer products of those already-projected rows — every term
+# of modest magnitude, so the whole step is f32-stable — and the
+# accumulation is one big (C*nred, Dp)^T (C*nred, Dp) matmul per landmark
+# chunk: exactly the dense MXU shape the reduction above only approximates.
+# Algebraically identical to the damped Schur complement, so the x64 path
+# pins it against `schur_gn_step` in tests.
+# ---------------------------------------------------------------------------
+
+
+def build_point_obs(graph: FactorGraph, point_cap: int):
+    """Host-side landmark->observation index tables (static sparsity).
+
+    Returns ``(obs_idx (Pq, K) int32, obs_valid (Pq, K) bool,
+    prior_row (Pq,) int32, prior_valid (Pq,) bool)`` where ``obs_idx``
+    rows list this landmark's ACTIVE projection-table rows (K = max
+    observation count, zero-padded) and ``prior_row`` its prior_point-table
+    row, if any.
+    """
+    import numpy as np
+
+    pj = graph.projection
+    pidx = np.asarray(pj.point_idx)
+    act = np.asarray(pj.active)
+    per = [[] for _ in range(point_cap)]
+    for f in np.flatnonzero(act):
+        per[int(pidx[f])].append(int(f))
+    K = max(1, max((len(p) for p in per), default=1))
+    obs_idx = np.zeros((point_cap, K), np.int32)
+    obs_valid = np.zeros((point_cap, K), bool)
+    for q, rows in enumerate(per):
+        obs_idx[q, :len(rows)] = rows
+        obs_valid[q, :len(rows)] = True
+
+    prior_row = np.zeros(point_cap, np.int32)
+    prior_valid = np.zeros(point_cap, bool)
+    pp = graph.prior_point
+    if pp.idx.shape[0]:
+        qi = np.asarray(pp.idx)
+        for f in np.flatnonzero(np.asarray(pp.active)):
+            prior_row[int(qi[f])] = int(f)
+            prior_valid[int(qi[f])] = True
+    return obs_idx, obs_valid, prior_row, prior_valid
+
+
+def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
+                        obs_idx, obs_valid, prior_row, prior_valid,
+                        q_ids, damping, chunk: int):
+    """Per-landmark QR elimination + chunked dense reduction.
+
+    ``q_ids`` are the GLOBAL landmark indices of these table rows (just
+    ``arange(Pq)`` single-device; a shard's slice under ``shard_map``).
+    Returns the landmark-partial ``(S, g)`` (no damping/priors/non-point
+    terms — callers psum then add those once) plus the back-substitution
+    pieces ``(R3, E, c1, cp_flat, live)``.
+    """
+    Dp = lay.point_off
+    dt = values.pose_t.dtype
+    Pq, K = obs_idx.shape
+
+    # --- per-landmark stacked blocks --------------------------------------
+    r_all, J_all = F._projection_lin(values, graph.projection)
+    Jp_all, Jq_all = J_all[:, :, :6], J_all[:, :, 6:]
+    cp_all = lay.pose_cols(graph.projection.pose_idx)     # (F, 6)
+
+    v = obs_valid.astype(dt)                              # (Pq, K)
+    Jq_g = Jq_all[obs_idx] * v[:, :, None, None]          # (Pq, K, 2, 3)
+    Jp_g = Jp_all[obs_idx] * v[:, :, None, None]          # (Pq, K, 2, 6)
+    r_g = r_all[obs_idx] * v[:, :, None]                  # (Pq, K, 2)
+    cp_g = cp_all[obs_idx]                                # (Pq, K, 6)
+
+    nloc = 6 * K
+    Mq = Jq_g.reshape(Pq, 2 * K, 3)
+    Mp = jnp.zeros((Pq, 2 * K, nloc), dt)
+    for k in range(K):                                    # static K, tiny
+        Mp = Mp.at[:, 2 * k:2 * k + 2, 6 * k:6 * k + 6].set(Jp_g[:, k])
+    Mr = r_g.reshape(Pq, 2 * K, 1)
+
+    live = (q_ids < values.num_points).astype(dt)
+    if graph.prior_point.idx.shape[0]:
+        rp_all, Jp3_all = F._prior_point_lin(values, graph.prior_point)
+        pv = prior_valid.astype(dt)
+        Jpr = Jp3_all[prior_row] * pv[:, None, None]      # (Pq, 3, 3)
+        rpr = rp_all[prior_row] * pv[:, None]             # (Pq, 3)
+    else:
+        Jpr = jnp.zeros((Pq, 3, 3), dt)
+        rpr = jnp.zeros((Pq, 3), dt)
+    prior_block = jnp.concatenate(
+        [Jpr, jnp.zeros((Pq, 3, nloc), dt), rpr[:, :, None]], axis=-1)
+
+    # damping rows double as the dead-landmark guard (identity -> R3
+    # nonsingular, zero rhs -> zero update)
+    s_damp = jnp.sqrt(damping) * live + (1.0 - live)
+    damp_block = jnp.concatenate(
+        [s_damp[:, None, None] * jnp.eye(3, dtype=dt)[None],
+         jnp.zeros((Pq, 3, nloc + 1), dt)], axis=-1)
+
+    M = jnp.concatenate(
+        [jnp.concatenate([Mq, Mp, Mr], axis=-1), prior_block, damp_block],
+        axis=1)                                           # (Pq, m, 3+nloc+1)
+
+    Rq = jnp.linalg.qr(M, mode="r")                       # (Pq, min(m,n), n)
+    nred = Rq.shape[1] - 3
+    R3 = Rq[:, :3, :3]
+    E = Rq[:, :3, 3:3 + nloc]
+    c1 = Rq[:, :3, -1]
+    red_pose = Rq[:, 3:, 3:3 + nloc]                      # (Pq, nred, 6K)
+    red_rhs = Rq[:, 3:, -1]                               # (Pq, nred)
+    cp_flat = cp_g.reshape(Pq, nloc)
+
+    # --- reduced camera system: chunked dense MXU accumulation ------------
+    C = min(chunk, Pq)
+    n_chunks = -(-Pq // C)
+    pad = n_chunks * C - Pq
+    if pad:
+        red_pose_c = jnp.pad(red_pose, ((0, pad), (0, 0), (0, 0)))
+        red_rhs_c = jnp.pad(red_rhs, ((0, pad), (0, 0)))
+        cp_c = jnp.pad(cp_flat, ((0, pad), (0, 0)))
+    else:
+        red_pose_c, red_rhs_c, cp_c = red_pose, red_rhs, cp_flat
+
+    def chunk_S(pp, rr, cols):
+        # duplicate pose columns within one landmark must SUM (a landmark
+        # observed twice by one pose) -> scatter-add into the dense rows
+        dense = jnp.zeros((C, nred, Dp), dt).at[
+            jnp.arange(C)[:, None, None],
+            jnp.arange(nred)[None, :, None],
+            cols[:, None, :]].add(pp)
+        d2 = dense.reshape(C * nred, Dp)
+        return d2.T @ d2, d2.T @ rr.reshape(-1)
+
+    pose_ch = red_pose_c.reshape(n_chunks, C, nred, nloc)
+    rhs_ch = red_rhs_c.reshape(n_chunks, C, nred)
+    cp_ch = cp_c.reshape(n_chunks, C, nloc)
+    # the scan carry is SEEDED with chunk 0 (not zeros): under shard_map
+    # a replicated zeros init would not be varying over the mesh axis
+    # while the accumulated shard data is, and lax.scan rejects the
+    # carry-type mismatch
+    S, g = chunk_S(pose_ch[0], rhs_ch[0], cp_ch[0])
+    if n_chunks > 1:
+        def chunk_body(carry, inp):
+            Sc, gc = carry
+            dS, dg = chunk_S(*inp)
+            return (Sc + dS, gc + dg), None
+
+        (S, g), _ = jax.lax.scan(
+            chunk_body, (S, g),
+            (pose_ch[1:], rhs_ch[1:], cp_ch[1:]))
+    return (S, g), (R3, E, c1, cp_flat, live)
+
+
+def _add_nonpoint_and_base(graph, values, lay, S, g, damping):
+    """Non-landmark factor blocks + pose damping + unused-slot identity."""
+    Dp = lay.point_off
+    mask_p = used_slot_mask(values)[:Dp]
+    S = S + jnp.diag(damping * jnp.ones(Dp, S.dtype) + (1.0 - mask_p))
+    for r, J, cols in _nonpoint_blocks(graph, values, lay):
+        S = S.at[cols[:, :, None], cols[:, None, :]].add(
+            jnp.einsum("fei,fej->fij", J, J))
+        g = g.at[cols].add(jnp.einsum("fei,fe->fi", J, r))
+    return S, g
+
+
+def _solve_reduced(S, g):
+    Lc = jnp.linalg.cholesky(S)
+    y = jax.scipy.linalg.solve_triangular(Lc, -g, lower=True)
+    return jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False)
+
+
+def _backsub_points(R3, E, c1, cp_flat, live, dp):
+    """Landmark updates from the kept QR rows: (Pq, 3)."""
+    dp_sel = dp[cp_flat]                                  # (Pq, 6K)
+    rhs_q = c1 + jnp.einsum("qij,qj->qi", E, dp_sel)
+    dq = -jax.scipy.linalg.solve_triangular(R3, rhs_q[..., None],
+                                            lower=False)[..., 0]
+    return dq * live[:, None]
+
+
+def sqrt_schur_gn_step(graph: FactorGraph, values: VariableArena,
+                       obs_idx, obs_valid, prior_row, prior_valid,
+                       damping, chunk: int = 2048):
+    """One damped GN step via per-landmark QR elimination (f32-stable)."""
+    lay = layout_of(values)
+    Pq = obs_idx.shape[0]
+    (S, g), back = _landmark_qr_reduce(
+        graph, values, lay, obs_idx, obs_valid, prior_row, prior_valid,
+        jnp.arange(Pq), damping, chunk)
+    S, g = _add_nonpoint_and_base(graph, values, lay, S, g, damping)
+    dp = _solve_reduced(S, g)
+    dq = _backsub_points(*back, dp).reshape(-1)
+    return retract_all(values, jnp.concatenate([dp, dq]))
+
+
+def ba_gn_optimize_sqrt(graph: FactorGraph, values: VariableArena,
+                        iterations: int = 8, damping: float = 1e-6,
+                        chunk: int = 2048):
+    """GN with square-root (QR) Schur elimination, fixed trip count.
+
+    The f32-stable TPU path: builds the host-side observation tables once
+    (static sparsity), then runs the jitted fixed-trip scan.
+    """
+    lay = layout_of(values)
+    obs_idx, obs_valid, prior_row, prior_valid = build_point_obs(
+        graph, lay.point_cap)
+    return _ba_sqrt_jit(graph, values,
+                        jnp.asarray(obs_idx), jnp.asarray(obs_valid),
+                        jnp.asarray(prior_row), jnp.asarray(prior_valid),
+                        iterations=iterations, damping=float(damping),
+                        chunk=int(chunk))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iterations", "damping", "chunk"))
+def _ba_sqrt_jit(graph, values, obs_idx, obs_valid, prior_row, prior_valid,
+                 iterations, damping, chunk):
+    def body(vals, _):
+        return sqrt_schur_gn_step(
+            graph, vals, obs_idx, obs_valid, prior_row, prior_valid,
+            jnp.asarray(damping, vals.pose_t.dtype), chunk=chunk), None
 
     values, _ = jax.lax.scan(body, values, None, length=iterations)
     return values, total_error(graph, values)

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:  # jax>=0.5 moved shard_map out of experimental
@@ -37,10 +38,12 @@ except ImportError:  # pragma: no cover
 
 from ..graph.factors import FactorGraph, linearize_blocks, total_error
 from ..graph.solve import inv33, solve_dense, solve_pcg_precond
-from ..graph.variables import VariableArena, retract_all, used_slot_mask
+from ..graph.variables import (VariableArena, layout_of, retract_all,
+                               used_slot_mask)
 
 __all__ = ["make_mesh", "shard_graph", "sharded_gn_step",
-           "sharded_gn_pcg_step", "sharded_gn", "pad_graph_for_mesh"]
+           "sharded_gn_pcg_step", "sharded_gn", "pad_graph_for_mesh",
+           "sharded_ba_sqrt"]
 
 AXIS = "factors"
 
@@ -208,3 +211,87 @@ def sharded_gn(mesh: Mesh, graph: FactorGraph, values: VariableArena,
         for _ in range(iterations):
             values = step(graph, values, damping)
     return values, total_error(graph, values)
+
+
+# ---------------------------------------------------------------------------
+# Sharded bundle adjustment: square-root Schur with landmarks over the mesh
+# ---------------------------------------------------------------------------
+
+
+def _ba_sqrt_local(graph, values, obs_idx, obs_valid, prior_row,
+                   prior_valid, q_ids, damping, *, iterations, chunk):
+    """Runs inside ``shard_map``: graph/values replicated, landmark tables
+    sharded. Per GN step the collectives are ONE (Dp, Dp) psum of the
+    landmark-partial reduced camera system (+ its (Dp,) gradient) and one
+    (Pq, 3) psum assembling the back-substituted landmark updates —
+    independent of the observation count, which is where BA's data lives.
+    """
+    from ..graph import ba_solve as B
+    from ..graph.variables import layout_of as _layout
+
+    lay = _layout(values)
+    Pq_total = lay.point_cap
+
+    def step(vals, _):
+        (S, g), back = B._landmark_qr_reduce(
+            graph, vals, lay, obs_idx, obs_valid, prior_row, prior_valid,
+            q_ids, damping, chunk)
+        S = jax.lax.psum(S, AXIS)
+        g = jax.lax.psum(g, AXIS)
+        # non-point terms added ONCE per (replicated) device, after psum
+        S, g = B._add_nonpoint_and_base(graph, vals, lay, S, g, damping)
+        dp = B._solve_reduced(S, g)
+        dq_loc = B._backsub_points(*back, dp)          # (Pq_local, 3)
+        # shards own disjoint q_ids; padded rows are live=0 -> zero, so
+        # .add is safe even under JAX's clip-to-edge OOB semantics
+        dq = jnp.zeros((Pq_total, 3), dp.dtype).at[q_ids].add(dq_loc)
+        dq = jax.lax.psum(dq, AXIS).reshape(-1)
+        return retract_all(vals, jnp.concatenate([dp, dq])), None
+
+    vals, _ = jax.lax.scan(step, values, None, length=iterations)
+    return vals
+
+
+def sharded_ba_sqrt(mesh: Mesh, graph: FactorGraph, values: VariableArena,
+                    iterations: int = 8, damping: float = 1e-6,
+                    chunk: int = 2048):
+    """Multi-device BA: landmark QR elimination sharded over the mesh.
+
+    The f32-stable square-root Schur (``graph.ba_solve``) data-parallel
+    over LANDMARKS: each device eliminates its landmark shard (vmapped
+    thin QR + chunked dense reduction on local rows), the reduced camera
+    system is one (Dp, Dp) psum, the replicated solve is tiny, and
+    back-substitution stays local. Graph tables ride replicated (each
+    device gathers arbitrary projection rows of its landmarks); only the
+    landmark index tables shard. All ``iterations`` steps fuse into one
+    device program. Returns ``(values, final_error)``.
+    """
+    from ..graph.ba_solve import build_point_obs
+
+    n = len(mesh.devices.flat)
+    lay = layout_of(values)
+    obs_idx, obs_valid, prior_row, prior_valid = build_point_obs(
+        graph, lay.point_cap)
+    Pq = obs_idx.shape[0]
+    Pq_pad = ((Pq + n - 1) // n) * n
+    pad = Pq_pad - Pq
+    q_ids = np.arange(Pq_pad, dtype=np.int32)   # padded rows: live=0 guard
+    if pad:
+        obs_idx = np.pad(obs_idx, ((0, pad), (0, 0)))
+        obs_valid = np.pad(obs_valid, ((0, pad), (0, 0)))
+        prior_row = np.pad(prior_row, (0, pad))
+        prior_valid = np.pad(prior_valid, (0, pad))
+
+    fn = jax.jit(shard_map(
+        functools.partial(_ba_sqrt_local, iterations=int(iterations),
+                          chunk=int(chunk)),
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P()),
+        out_specs=P(),
+    ))
+    damping_j = jnp.asarray(damping, values.pose_t.dtype)
+    vals = fn(graph, values, jnp.asarray(obs_idx), jnp.asarray(obs_valid),
+              jnp.asarray(prior_row), jnp.asarray(prior_valid),
+              jnp.asarray(q_ids), damping_j)
+    return vals, total_error(graph, vals)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..config import CameraIntrinsics
 from ..core import se3
 from ..graph import GraphBuilder, LMParams, lm_optimize, total_error
-from ..graph.ba_solve import ba_gn_optimize
+from ..graph.ba_solve import ba_gn_optimize, ba_gn_optimize_sqrt
 from ..imu import ImuParams, ImuStream, init_preint, integrate_segment, \
     predict_navstate, find_index_at
 from ..vision.ba import TrackBook
@@ -189,8 +189,15 @@ def run_ba_imu(frames, matches: Callable, img_times,
     graph, values = b.build(bucket=cfg.bucket)
     e0 = float(total_error(graph, values))
     if cfg.solver == "schur":
-        vals, err = ba_gn_optimize(graph, values,
-                                   iterations=cfg.schur_iters)
+        # normal-equations Schur needs f64 (cancellation); on f32-only
+        # runs route to the square-root (QR) elimination instead
+        import jax as _jax
+        if _jax.config.read("jax_enable_x64"):
+            vals, err = ba_gn_optimize(graph, values,
+                                       iterations=cfg.schur_iters)
+        else:
+            vals, err = ba_gn_optimize_sqrt(graph, values,
+                                            iterations=cfg.schur_iters)
         err = float(err)
     else:
         res = lm_optimize(graph, values, lm_params)

@@ -132,3 +132,68 @@ class TestBaStress:
         for k in range(12):
             np.testing.assert_allclose(np.asarray(vals.pose_t[k]), ts[k],
                                        atol=5e-3)
+
+
+class TestSqrtSchur:
+    """Square-root (QR) landmark elimination: f32-stable Schur."""
+
+    def test_sqrt_matches_normal_equations_schur_f64(self):
+        """Same damped linear system, different factorization: one step of
+        the QR form must match schur_gn_step to solver precision (x64)."""
+        from graph_slam_tpu.graph.ba_solve import (
+            build_point_obs, schur_gn_step, sqrt_schur_gn_step)
+        from graph_slam_tpu.graph.variables import layout_of
+        from graph_slam_tpu.datasets import make_ba_graph
+
+        graph, values, _ = make_ba_graph(
+            n_poses=6, n_points=80, obs_per_point=4, seed=1,
+            pixel_noise=0.5, dtype=jnp.float64, bucket=16)
+        lay = layout_of(values)
+        tabs = build_point_obs(graph, lay.point_cap)
+        damping = jnp.asarray(1e-3, jnp.float64)
+        v_ne = schur_gn_step(graph, values, damping)
+        v_sq = sqrt_schur_gn_step(graph, values,
+                                  *[jnp.asarray(t) for t in tabs], damping,
+                                  chunk=32)
+        # tolerance is conditioning-limited, not method-limited: the
+        # sigma=1e-6 pose prior puts ~1e12 entries in S, so two exact
+        # factorizations of the same system legitimately differ ~1e-6
+        np.testing.assert_allclose(np.asarray(v_sq.pose_t),
+                                   np.asarray(v_ne.pose_t), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v_sq.point),
+                                   np.asarray(v_ne.point), atol=1e-5)
+
+    def test_sqrt_schur_converges_in_f32(self):
+        """THE claim: the QR form is f32-stable where the normal-equations
+        reduction cancels catastrophically. Pixel-whitened BA in pure f32
+        must still collapse chi2 >1e3x and recover the trajectory."""
+        from graph_slam_tpu.graph.ba_solve import ba_gn_optimize_sqrt
+        from graph_slam_tpu.datasets import make_ba_graph
+
+        graph, values, (gt_poses, _) = make_ba_graph(
+            n_poses=10, n_points=300, obs_per_point=4, seed=5,
+            pixel_noise=0.0, dtype=jnp.float32, bucket=32)
+        e0 = float(total_error(graph, values))
+        vals, err = ba_gn_optimize_sqrt(graph, values, iterations=8,
+                                        damping=1e-4, chunk=128)
+        assert float(err) < 1e-3 * e0, (e0, float(err))
+        Rs, ts = gt_poses
+        for k in range(10):
+            np.testing.assert_allclose(np.asarray(vals.pose_t[k]), ts[k],
+                                       atol=1e-2)
+
+    def test_sqrt_schur_with_point_priors_and_imu_tables(self):
+        """Mixed graph (the two-frame-BA shape, gtsam_graph.cpp:500-610):
+        point priors ride the landmark QR stack; pose priors/between ride
+        the non-point accumulation."""
+        from graph_slam_tpu.graph.ba_solve import (ba_gn_optimize,
+                                                   ba_gn_optimize_sqrt)
+
+        (graph, values), gt_poses, pts = TestSchur._make_ba_graph(
+            TestSchur())
+        vals, err = ba_gn_optimize_sqrt(graph, values, iterations=10,
+                                        damping=1e-6)
+        assert float(err) < 1e-8
+        vals_ne, err_ne = ba_gn_optimize(graph, values, iterations=10,
+                                         damping=1e-6)
+        np.testing.assert_allclose(float(err), float(err_ne), atol=1e-8)

@@ -77,6 +77,22 @@ def test_ba_schur_path(monkeypatch):
     assert out["chi2_pcg"] < 0.5 * out["chi2_0"]
 
 
+def test_ba_sqrt_path(monkeypatch):
+    import graph_slam_tpu.datasets as ds
+
+    orig = ds.make_ba_graph
+
+    def small(n_poses, n_points, obs_per_point, seed, dtype, bucket):
+        return orig(n_poses=8, n_points=60, obs_per_point=3, seed=seed,
+                    dtype=dtype, bucket=32)
+
+    monkeypatch.setattr(ds, "make_ba_graph", small)
+    out = bench.bench_ba_sqrt()
+    assert out["value"] > 0
+    assert out["chi2_final"] < 0.1 * out["chi2_0"]
+    assert out["mfu_pct"] >= 0
+
+
 def test_banded_direct_path():
     out = bench.bench_banded_direct()
     assert out["value"] > 0

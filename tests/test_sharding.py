@@ -94,3 +94,29 @@ def test_pad_graph_for_mesh_divisibility():
     e1 = float(total_error(graph, values))
     e2 = float(total_error(padded, values))
     assert abs(e1 - e2) < 1e-6 * max(e1, 1.0)
+
+
+def test_sharded_ba_sqrt_matches_single_device():
+    """Landmark-sharded square-root Schur BA: 8-way mesh result must match
+    the single-device ba_gn_optimize_sqrt (same damped GN trajectory) and
+    converge hard in f32 — the eliminations are the same math, the mesh
+    only partitions landmarks."""
+    from graph_slam_tpu.datasets import make_ba_graph
+    from graph_slam_tpu.graph.ba_solve import ba_gn_optimize_sqrt
+    from graph_slam_tpu.parallel import sharded_ba_sqrt
+
+    graph, values, _ = make_ba_graph(n_poses=8, n_points=120,
+                                     obs_per_point=3, seed=4,
+                                     dtype=jnp.float32, bucket=8)
+    e0 = float(total_error(graph, values))
+    mesh = make_mesh(8)
+    vals_sh, err_sh = sharded_ba_sqrt(mesh, graph, values, iterations=6,
+                                      damping=1e-3, chunk=16)
+    vals_1, err_1 = ba_gn_optimize_sqrt(graph, values, iterations=6,
+                                        damping=1e-3, chunk=16)
+    assert float(err_sh) < 1e-2 * e0, (e0, float(err_sh))
+    np.testing.assert_allclose(float(err_sh), float(err_1), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(vals_sh.pose_t),
+                               np.asarray(vals_1.pose_t), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vals_sh.point),
+                               np.asarray(vals_1.point), atol=1e-3)
