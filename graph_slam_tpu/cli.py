@@ -401,7 +401,8 @@ def cmd_ba_imu(args):
                 tok = line.split()
                 if len(tok) >= 2:
                     times[int(tok[0])] = float(tok[1])
-    cfg = BaImuConfig(use_imu=bool(args.imu))
+    cfg = BaImuConfig(use_imu=bool(args.imu),
+                      sharded=getattr(args, "sharded", 0))
     res = run_ba_imu(frames, matches, times.get, stream, iparams, K,
                      cfg=cfg)
     print(f"chi2 {res.error0:.6f} -> {res.error:.6f} "
@@ -651,6 +652,8 @@ def main(argv=None):
     s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
     s.add_argument("--imu", help="VN100 log (optional)")
     s.add_argument("--times", help="'seq_id timestamp' lines (with --imu)")
+    s.add_argument("--sharded", type=int, default=0, metavar="N",
+                   help="landmark-sharded solve over an N-device mesh")
     s.set_defaults(fn=cmd_ba_imu)
 
     s = sub.add_parser("plane-check",

@@ -41,6 +41,8 @@ class BaImuConfig:
     solver: str = "schur"            # "schur" | "lm"
     schur_iters: int = 10
     bucket: int = 64
+    sharded: int = 0                 # >0: landmark-sharded solve over an
+    #                                  N-device mesh (sharded_ba_sqrt)
 
 
 @dataclasses.dataclass
@@ -192,7 +194,12 @@ def run_ba_imu(frames, matches: Callable, img_times,
         # normal-equations Schur needs f64 (cancellation); on f32-only
         # runs route to the square-root (QR) elimination instead
         import jax as _jax
-        if _jax.config.read("jax_enable_x64"):
+        if cfg.sharded > 0:
+            from ..parallel import make_mesh, sharded_ba_sqrt
+            vals, err = sharded_ba_sqrt(make_mesh(cfg.sharded), graph,
+                                        values,
+                                        iterations=cfg.schur_iters)
+        elif _jax.config.read("jax_enable_x64"):
             vals, err = ba_gn_optimize(graph, values,
                                        iterations=cfg.schur_iters)
         else:

@@ -158,10 +158,100 @@ def make_g2o_golden():
             "g2o_error_jax": res.error}
 
 
+def make_ba_golden():
+    """Small bundle-adjustment fixture (Cal3DS2 projections with a
+    non-identity body_P_sensor, pose prior, point priors), committed as
+    ba_fixture.json; the optimum is pinned from the INDEPENDENT NumPy LM
+    and both JAX optimizers (LM and the square-root Schur GN) are gated
+    against it at generation time."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(HERE))
+    import np_lie
+    import np_optimizer as npo
+    from graph_slam_tpu.config import SR4000
+    from graph_slam_tpu.graph import (GraphBuilder, LMParams, lm_optimize,
+                                      total_error)
+    from graph_slam_tpu.graph.ba_solve import ba_gn_optimize_sqrt
+
+    r = np.random.default_rng(23)
+    n_poses, n_pts = 3, 25
+    cal9 = (SR4000.fx, SR4000.fy, 0.0, SR4000.cx, SR4000.cy,
+            SR4000.k1, SR4000.k2, 0.0, 0.0)
+    bR = np_so3_exp(np.array([0.0, 0.05, 0.0]))
+    bt = np.array([0.05, 0.0, 0.01])
+
+    gt_poses = [(np_so3_exp(np.array([0.0, 0.1 * k, 0.0])),
+                 np.array([0.3 * k, 0.0, 0.0])) for k in range(n_poses)]
+    pts = np.stack([r.uniform(-1, 1, n_pts), r.uniform(-1, 1, n_pts),
+                    r.uniform(2.5, 5.0, n_pts)], axis=1)
+
+    def project(Rt, q):
+        R, t = np_lie.compose(Rt, (bR, bt))
+        return npo.cal3ds2_project(cal9, R.T @ (q - t))
+
+    obs = [(k, q, (project(gt_poses[k], pts[q])
+                   + r.normal(size=2) * 0.3).tolist())
+           for k in range(n_poses) for q in range(n_pts)]
+    init_poses = [gt_poses[0]] + [
+        (np_lie.so3_exp(r.normal(size=3) * 0.02) @ R,
+         t + r.normal(size=3) * 0.03) for R, t in gt_poses[1:]]
+    init_pts = pts + r.normal(size=pts.shape) * 0.05
+
+    fixture = {
+        "cal": list(cal9),
+        "body_R": bR.tolist(), "body_t": bt.tolist(),
+        "prior_pose": [gt_poses[0][0].tolist(), gt_poses[0][1].tolist()],
+        "init_poses": [[R.tolist(), t.tolist()] for R, t in init_poses],
+        "init_points": init_pts.tolist(),
+        "obs": obs,
+        "point_prior_sigma": 0.5,
+    }
+    with open(os.path.join(HERE, "ba_fixture.json"), "w") as f:
+        json.dump(fixture, f)
+
+    # JAX graph
+    b = GraphBuilder(dtype=jnp.float64)
+    for Rt in init_poses:
+        b.add_pose(Rt)
+    b.add_prior_pose(0, gt_poses[0], sigmas=np.full(6, 1e-6))
+    for q in range(n_pts):
+        b.add_point(init_pts[q])
+        b.add_prior_point(q, init_pts[q], sigma=0.5)
+    for k, q, uv in obs:
+        b.add_projection_factor(k, q, np.asarray(uv), cal9,
+                                body_pose=(bR, bt), sigma=1.0)
+    graph, values = b.build(bucket=8)
+    e0_jax = float(total_error(graph, values))
+    res = lm_optimize(graph, values, LMParams(relative_error_tol=1e-14,
+                                              absolute_error_tol=1e-14))
+    _, err_sqrt = ba_gn_optimize_sqrt(graph, values, iterations=25,
+                                      damping=1e-6)
+
+    # independent NumPy optimum (the pin)
+    factors = [npo.prior_pose_factor(0, gt_poses[0], np.eye(6) * 1e6)]
+    for q in range(n_pts):
+        factors.append(npo.prior_point_factor(q, init_pts[q],
+                                              np.eye(3) / 0.5))
+    for k, q, uv in obs:
+        factors.append(npo.projection_factor(k, q, np.asarray(uv), cal9,
+                                             (bR, bt), np.eye(2)))
+    nv = npo.NpValues(init_poses, points=list(init_pts))
+    np_e0 = npo.total_error(factors, nv)
+    _, np_err = npo.lm_optimize(factors, nv, max_iters=100)
+    assert abs(e0_jax - np_e0) <= 1e-9 * np_e0, (e0_jax, np_e0)
+    assert abs(float(res.error) - np_err) <= 1e-6 * np_err
+    assert abs(float(err_sqrt) - np_err) <= 1e-6 * np_err
+    return {"ba_error0": np_e0, "ba_error": np_err,
+            "ba_error_jax": float(res.error),
+            "ba_error_sqrt_schur": float(err_sqrt)}
+
+
 def main():
     pins = {}
     pins.update(make_vro_golden())
     pins.update(make_g2o_golden())
+    pins.update(make_ba_golden())
     with open(os.path.join(HERE, "chi2.json"), "w") as f:
         json.dump(pins, f, indent=2)
     print(json.dumps(pins, indent=2))

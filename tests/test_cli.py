@@ -173,6 +173,14 @@ class TestCliEndToEnd:
                          "--seqs", f"0:{len(xs)}")
         assert "chi2" in stdout and "proj=" in stdout
 
+    def test_ba_imu_sharded(self, scenario):
+        """Landmark-sharded square-root Schur solve over the 8-way mesh,
+        driven through the executable tier."""
+        root, frames_dir, vro_path, xs = scenario
+        stdout = run_cli("ba-imu", "--frames", frames_dir,
+                         "--seqs", f"0:{len(xs)}", "--sharded", "8")
+        assert "chi2" in stdout and "proj=" in stdout
+
     def test_vio_flagship_with_frames(self, tmp_path):
         """Full flagship driver: .gsf frames + VN100 IMU log + timestamps +
         VRO log with a failed edge -> `vio --plane-mode rescue --frames`

@@ -87,3 +87,43 @@ class TestCliSmoke:
         tw = np.asarray(w2o.t)
         golden = read_trajectory(os.path.join(HERE, "posegraph_traj.log"))
         np.testing.assert_allclose(traj.t, golden.t @ R.T + tw, atol=1e-9)
+
+
+class TestBaGolden:
+    def test_ba_fixture_reaches_pinned_optimum(self):
+        """Committed BA fixture (Cal3DS2 projections, body_P_sensor, point
+        priors): both the LM optimizer and the square-root Schur GN must
+        land on the optimum pinned from the independent NumPy LM."""
+        import jax.numpy as jnp
+
+        from graph_slam_tpu.graph import (GraphBuilder, lm_optimize,
+                                          total_error)
+        from graph_slam_tpu.graph.ba_solve import ba_gn_optimize_sqrt
+
+        fx = json.load(open(os.path.join(HERE, "ba_fixture.json")))
+        b = GraphBuilder(dtype=jnp.float64)
+        for R, t in fx["init_poses"]:
+            b.add_pose((np.asarray(R), np.asarray(t)))
+        pR, pt = fx["prior_pose"]
+        b.add_prior_pose(0, (np.asarray(pR), np.asarray(pt)),
+                         sigmas=np.full(6, 1e-6))
+        sig = fx["point_prior_sigma"]
+        for q, p in enumerate(fx["init_points"]):
+            b.add_point(np.asarray(p))
+            b.add_prior_point(q, np.asarray(p), sigma=sig)
+        body = (np.asarray(fx["body_R"]), np.asarray(fx["body_t"]))
+        for k, q, uv in fx["obs"]:
+            b.add_projection_factor(k, q, np.asarray(uv), fx["cal"],
+                                    body_pose=body, sigma=1.0)
+        graph, values = b.build(bucket=8)
+        assert abs(float(total_error(graph, values)) - PINS["ba_error0"]) \
+            <= 1e-6 * PINS["ba_error0"]
+        res = lm_optimize(graph, values,
+                          LMParams(relative_error_tol=1e-14,
+                                   absolute_error_tol=1e-14))
+        assert abs(float(res.error) - PINS["ba_error"]) \
+            <= 1e-6 * PINS["ba_error"]
+        _, err_sqrt = ba_gn_optimize_sqrt(graph, values, iterations=25,
+                                          damping=1e-6)
+        assert abs(float(err_sqrt) - PINS["ba_error"]) \
+            <= 1e-6 * PINS["ba_error"]
