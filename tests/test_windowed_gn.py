@@ -142,3 +142,58 @@ class TestWindowedGnBoundedCost:
         # capacity x8, between rows x8 -> only the O(capacity) remap terms
         # may grow; the window solve must dominate
         assert flops[1] < 4.0 * flops[0], flops
+
+
+class TestWindowedGnWithPoints:
+    def test_matches_masked_full_solve_with_landmarks(self):
+        """The compact window solve's POINT columns (always fully free,
+        like planes) must reproduce the masked full-arena GN step on a
+        graph with projection factors — the reference's incremental runs
+        insert Q() landmarks into the same graph (gtsam_graph.cpp:370-448).
+        """
+        from graph_slam_tpu.config import SR4000
+        from graph_slam_tpu.graph import GraphBuilder
+
+        r = np.random.default_rng(9)
+        n, W = 12, 5
+        cal9 = (SR4000.fx, SR4000.fy, 0.0, SR4000.cx, SR4000.cy,
+                0.0, 0.0, 0.0, 0.0)
+        b = GraphBuilder(dtype=jnp.float64)
+        gt = [(np.eye(3), np.zeros(3))]
+        for k in range(1, n):
+            gt.append((gt[-1][0],
+                       gt[-1][1] + np.array([0.2, 0.0, 0.0])))
+        for k in range(n):
+            b.add_pose((gt[k][0],
+                        gt[k][1] + r.normal(size=3) * 0.02))
+        b.add_prior_pose(0, gt[0], sigmas=np.full(6, 1e-6))
+        for k in range(1, n):
+            T = np_lie.between(gt[k - 1], gt[k])
+            b.add_between(k - 1, k, T, sigmas=np.full(6, 0.01))
+        pts = np.stack([r.uniform(-1, 1, 20), r.uniform(-1, 1, 20),
+                        r.uniform(3, 6, 20)], axis=1)
+        for q in range(20):
+            b.add_point(pts[q] + r.normal(size=3) * 0.05)
+            b.add_prior_point(q, pts[q], sigma=0.3)
+            for k in range(n - 4, n):     # observed by the window's poses
+                R, t = gt[k]
+                local = R.T @ (pts[q] - t)
+                z = max(local[2], 1e-6)
+                uv = (cal9[0] * local[0] / z + cal9[3],
+                      cal9[1] * local[1] / z + cal9[4])
+                b.add_projection_factor(k, q, np.asarray(uv), cal9,
+                                        sigma=1.0)
+        graph, values = b.build(bucket=4)
+        free_from = jnp.asarray([n - W, 0, 0, 0, 0], jnp.int32)
+
+        um = _free_mask(values, free_from)
+        ref = gn_optimize(graph, values, iterations=2, solver="dense",
+                          damping=1e-8, update_mask=um)
+        vals, err = windowed_gn(graph, values, free_from, wcaps=(W, W, W),
+                                damping=1e-8, iterations=2)
+        np.testing.assert_allclose(np.asarray(vals.pose_t),
+                                   np.asarray(ref.values.pose_t),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(vals.point),
+                                   np.asarray(ref.values.point), atol=1e-8)
+        np.testing.assert_allclose(float(err), float(ref.error), rtol=1e-8)
