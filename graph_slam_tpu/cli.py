@@ -491,6 +491,17 @@ def cmd_publish(args):
                 frame_id=args.frame_id)
 
 
+def cmd_serve(args):
+    from .config import SlamParams
+    from .serving import serve_slam
+
+    params = SlamParams(optimize_step=args.optimize_step)
+    print(f"SLAM service on {args.host}:{args.port} "
+          f"(camera={args.camera}, optimize_step={args.optimize_step})")
+    serve_slam(_camera(args), params, host=args.host, port=args.port,
+               max_messages=args.max_messages)
+
+
 def cmd_bench(args):
     import bench  # repo-root benchmark
 
@@ -702,6 +713,18 @@ def main(argv=None):
                    help="stop after N publishes (default: forever)")
     s.add_argument("--frame-id", default="map")
     s.set_defaults(fn=cmd_publish)
+
+    s = sub.add_parser("serve",
+                       help="streaming SLAM service: RGB-D frames in over "
+                            "TCP, poses out (the online ROS-node role)")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=7200)
+    s.add_argument("--camera", choices=["sr4000", "rs435"],
+                   default="sr4000")
+    s.add_argument("--optimize-step", type=int, default=10)
+    s.add_argument("--max-messages", type=int, default=None,
+                   help="stop after N messages (default: until 'end')")
+    s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("bench", help="sphere2500 GN throughput benchmark")
     s.set_defaults(fn=cmd_bench)

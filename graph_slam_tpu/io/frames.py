@@ -18,35 +18,47 @@ import struct
 
 import numpy as np
 
-__all__ = ["save_frame", "load_frame", "FrameStore"]
+__all__ = ["encode_frame", "decode_frame", "save_frame", "load_frame",
+           "FrameStore"]
 
 _MAGIC = b"GSF1"
 _HDR = struct.Struct("<4sIII")
 
 
-def save_frame(path: str, intensity, depth_m, depth_scale_um: int = 1000):
-    """Write a .gsf frame; depth given in meters, stored as u16 raw units."""
+def encode_frame(intensity, depth_m, depth_scale_um: int = 1000) -> bytes:
+    """Serialize a frame to .gsf bytes (also the wire format of the
+    streaming SLAM service); depth given in meters, stored u16 raw."""
     inten = np.asarray(intensity)
     h, w = inten.shape
     raw_i = np.clip(np.asarray(inten), 0, 65535).astype("<u2")
     raw_d = np.clip(np.asarray(depth_m) / (depth_scale_um * 1e-6),
                     0, 65535).astype("<u2")
+    return (_HDR.pack(_MAGIC, w, h, depth_scale_um)
+            + raw_i.tobytes() + raw_d.tobytes())
+
+
+def decode_frame(blob: bytes):
+    """Parse .gsf bytes -> (intensity f32, depth_m f32)."""
+    magic, w, h, scale_um = _HDR.unpack(blob[:_HDR.size])
+    if magic != _MAGIC:
+        raise ValueError("not a GSF frame")
+    data = np.frombuffer(blob, dtype="<u2",
+                         offset=_HDR.size, count=2 * h * w)
+    inten = data[: h * w].reshape(h, w).astype(np.float32)
+    depth = data[h * w:].reshape(h, w).astype(np.float32) * (scale_um * 1e-6)
+    return inten, depth
+
+
+def save_frame(path: str, intensity, depth_m, depth_scale_um: int = 1000):
+    """Write a .gsf frame; depth given in meters, stored as u16 raw units."""
     with open(path, "wb") as f:
-        f.write(_HDR.pack(_MAGIC, w, h, depth_scale_um))
-        f.write(raw_i.tobytes())
-        f.write(raw_d.tobytes())
+        f.write(encode_frame(intensity, depth_m, depth_scale_um))
 
 
 def load_frame(path: str):
     """Read a .gsf frame -> (intensity f32, depth_m f32)."""
     with open(path, "rb") as f:
-        magic, w, h, scale_um = _HDR.unpack(f.read(_HDR.size))
-        if magic != _MAGIC:
-            raise ValueError(f"{path}: not a GSF frame")
-        data = np.frombuffer(f.read(2 * h * w * 2), dtype="<u2")
-    inten = data[: h * w].reshape(h, w).astype(np.float32)
-    depth = data[h * w:].reshape(h, w).astype(np.float32) * (scale_um * 1e-6)
-    return inten, depth
+        return decode_frame(f.read())
 
 
 class FrameStore:
