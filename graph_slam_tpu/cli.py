@@ -496,10 +496,15 @@ def cmd_serve(args):
     from .serving import serve_slam
 
     params = SlamParams(optimize_step=args.optimize_step)
-    print(f"SLAM service on {args.host}:{args.port} "
-          f"(camera={args.camera}, optimize_step={args.optimize_step})")
+
+    def on_bound(port):
+        # printed AFTER bind so --port 0 reports the real ephemeral port
+        print(f"SLAM service on {args.host}:{port} "
+              f"(camera={args.camera}, "
+              f"optimize_step={args.optimize_step})", flush=True)
+
     serve_slam(_camera(args), params, host=args.host, port=args.port,
-               max_messages=args.max_messages)
+               max_messages=args.max_messages, on_bound=on_bound)
 
 
 def cmd_bench(args):

@@ -186,10 +186,11 @@ def build_point_obs(graph: FactorGraph, point_cap: int):
     """Host-side landmark->observation index tables (static sparsity).
 
     Returns ``(obs_idx (Pq, K) int32, obs_valid (Pq, K) bool,
-    prior_row (Pq,) int32, prior_valid (Pq,) bool)`` where ``obs_idx``
+    prior_row (Pq, P) int32, prior_valid (Pq, P) bool)`` where ``obs_idx``
     rows list this landmark's ACTIVE projection-table rows (K = max
     observation count, zero-padded) and ``prior_row`` its prior_point-table
-    row, if any.
+    rows (P = max priors per landmark; several priors on one landmark all
+    ride the QR stack, matching the accumulating solvers).
     """
     import numpy as np
 
@@ -206,14 +207,18 @@ def build_point_obs(graph: FactorGraph, point_cap: int):
         obs_idx[q, :len(rows)] = rows
         obs_valid[q, :len(rows)] = True
 
-    prior_row = np.zeros(point_cap, np.int32)
-    prior_valid = np.zeros(point_cap, bool)
+    per_pr = [[] for _ in range(point_cap)]
     pp = graph.prior_point
     if pp.idx.shape[0]:
         qi = np.asarray(pp.idx)
         for f in np.flatnonzero(np.asarray(pp.active)):
-            prior_row[int(qi[f])] = int(f)
-            prior_valid[int(qi[f])] = True
+            per_pr[int(qi[f])].append(int(f))
+    P = max(1, max((len(p) for p in per_pr), default=1))
+    prior_row = np.zeros((point_cap, P), np.int32)
+    prior_valid = np.zeros((point_cap, P), bool)
+    for q, rows in enumerate(per_pr):
+        prior_row[q, :len(rows)] = rows
+        prior_valid[q, :len(rows)] = True
     return obs_idx, obs_valid, prior_row, prior_valid
 
 
@@ -278,16 +283,19 @@ def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
     Mr = r_g.reshape(Pq, 2 * K, 1)
 
     live = (q_ids < values.num_points).astype(dt)
+    Ppr = prior_row.shape[1]
     if graph.prior_point.idx.shape[0]:
         rp_all, Jp3_all = F._prior_point_lin(values, graph.prior_point)
         pv = prior_valid.astype(dt)
-        Jpr = Jp3_all[prior_row] * pv[:, None, None]      # (Pq, 3, 3)
-        rpr = rp_all[prior_row] * pv[:, None]             # (Pq, 3)
+        Jpr = (Jp3_all[prior_row]
+               * pv[:, :, None, None]).reshape(Pq, 3 * Ppr, 3)
+        rpr = (rp_all[prior_row] * pv[:, :, None]).reshape(Pq, 3 * Ppr)
     else:
-        Jpr = jnp.zeros((Pq, 3, 3), dt)
-        rpr = jnp.zeros((Pq, 3), dt)
+        Jpr = jnp.zeros((Pq, 3 * Ppr, 3), dt)
+        rpr = jnp.zeros((Pq, 3 * Ppr), dt)
     prior_block = jnp.concatenate(
-        [Jpr, jnp.zeros((Pq, 3, nloc), dt), rpr[:, :, None]], axis=-1)
+        [Jpr, jnp.zeros((Pq, 3 * Ppr, nloc), dt), rpr[:, :, None]],
+        axis=-1)
 
     # damping rows double as the dead-landmark guard (identity -> R3
     # nonsingular, zero rhs -> zero update)

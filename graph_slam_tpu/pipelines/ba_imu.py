@@ -194,7 +194,16 @@ def run_ba_imu(frames, matches: Callable, img_times,
         # normal-equations Schur needs f64 (cancellation); on f32-only
         # runs route to the square-root (QR) elimination instead
         import jax as _jax
-        if cfg.sharded > 0:
+
+        # the QR stack pads every landmark to the LONGEST track (K): a
+        # single feature tracked across hundreds of frames would make the
+        # per-landmark blocks O(K^2) — route such graphs to the generic
+        # LM instead of the sqrt elimination
+        act = np.asarray(graph.projection.active)
+        pidx = np.asarray(graph.projection.point_idx)[act]
+        max_track = int(np.bincount(pidx).max()) if pidx.size else 0
+
+        if cfg.sharded > 0 and max_track <= 64:
             from ..parallel import make_mesh, sharded_ba_sqrt
             vals, err = sharded_ba_sqrt(make_mesh(cfg.sharded), graph,
                                         values,
@@ -202,9 +211,12 @@ def run_ba_imu(frames, matches: Callable, img_times,
         elif _jax.config.read("jax_enable_x64"):
             vals, err = ba_gn_optimize(graph, values,
                                        iterations=cfg.schur_iters)
-        else:
+        elif max_track <= 64:
             vals, err = ba_gn_optimize_sqrt(graph, values,
                                             iterations=cfg.schur_iters)
+        else:
+            res = lm_optimize(graph, values, lm_params)
+            vals, err = res.values, res.error
         err = float(err)
     else:
         res = lm_optimize(graph, values, lm_params)

@@ -83,11 +83,14 @@ def serve_slam(cam: CameraIntrinsics, params: Optional[SlamParams] = None,
                host: str = "127.0.0.1", port: int = 0,
                ready=None, port_out: Optional[list] = None,
                max_messages: Optional[int] = None,
-               slam_kwargs: Optional[dict] = None) -> int:
+               slam_kwargs: Optional[dict] = None,
+               on_bound=None) -> int:
     """Run the SLAM service until an ``end`` message (or ``max_messages``).
 
     Returns the bound port (appended to ``port_out`` before ``ready`` is
-    set, so a thread can hand an ephemeral port to its client).
+    set, so a thread can hand an ephemeral port to its client;
+    ``on_bound(port)`` is called at the same moment — the single-threaded
+    way to learn an ephemeral port, e.g. the CLI's startup print).
     """
     slam = OnlineSlam(cam=cam, params=params or SlamParams(),
                       **(slam_kwargs or {}))
@@ -98,8 +101,19 @@ def serve_slam(cam: CameraIntrinsics, params: Optional[SlamParams] = None,
     bound = srv.getsockname()[1]
     if port_out is not None:
         port_out.append(bound)
+    if on_bound is not None:
+        on_bound(bound)
     if ready is not None:
         ready.set()
+
+    def _reply(conn, header_dict) -> bool:
+        """Send a reply; a client that vanished mid-reply is not fatal
+        (the estimator session persists across reconnects)."""
+        try:
+            send_msg(conn, header_dict)
+            return True
+        except OSError:
+            return False
 
     n_msgs = 0
     done = False
@@ -110,19 +124,31 @@ def serve_slam(cam: CameraIntrinsics, params: Optional[SlamParams] = None,
                 while max_messages is None or n_msgs < max_messages:
                     try:
                         header, payload = recv_msg(conn)
-                    except ConnectionError:
-                        break           # client gone; await a reconnect
+                    except (ConnectionError, struct.error, ValueError,
+                            OSError):
+                        break           # client gone/garbled; await a
+                        #                 reconnect — estimator state lives
                     n_msgs += 1
                     if header.get("type") == "frame":
-                        inten, depth = decode_frame(payload)
-                        status = slam.process_frame(
-                            inten, depth, seq_id=int(header["seq"]))
-                        send_msg(conn, _pose_reply(
-                            slam, int(header["seq"]), status))
+                        # a malformed message must not kill the session:
+                        # reply with an error and keep serving
+                        try:
+                            inten, depth = decode_frame(payload)
+                            seq = int(header["seq"])
+                        except (KeyError, ValueError, TypeError,
+                                struct.error) as e:
+                            if not _reply(conn, {"type": "error",
+                                                 "error": f"bad frame: {e}"}):
+                                break
+                            continue
+                        status = slam.process_frame(inten, depth,
+                                                    seq_id=seq)
+                        if not _reply(conn, _pose_reply(slam, seq, status)):
+                            break
                     elif header.get("type") == "end":
                         chi2 = slam.optimize()
                         ids, t, q, seq = slam.trajectory()
-                        send_msg(conn, {
+                        _reply(conn, {
                             "type": "summary", "chi2": float(chi2),
                             "keyframes": slam.num_keyframes,
                             "ids": np.asarray(ids).tolist(),
@@ -132,8 +158,10 @@ def serve_slam(cam: CameraIntrinsics, params: Optional[SlamParams] = None,
                         done = True
                         break
                     else:
-                        send_msg(conn, {"type": "error",
-                                        "error": "unknown message type"})
+                        if not _reply(conn, {"type": "error",
+                                             "error": "unknown message "
+                                                      "type"}):
+                            break
             finally:
                 conn.close()
     finally:

@@ -197,3 +197,41 @@ class TestSqrtSchur:
         vals_ne, err_ne = ba_gn_optimize(graph, values, iterations=10,
                                          damping=1e-6)
         np.testing.assert_allclose(float(err), float(err_ne), atol=1e-8)
+
+    def test_sqrt_schur_multiple_priors_per_landmark(self):
+        """Two prior_point factors on one landmark must BOTH ride the QR
+        stack (the accumulating solvers count both; dropping one would
+        silently change the objective)."""
+        from graph_slam_tpu.graph.ba_solve import (
+            build_point_obs, schur_gn_step, sqrt_schur_gn_step)
+        from graph_slam_tpu.graph.variables import layout_of
+        from graph_slam_tpu.datasets import make_ba_graph
+        from graph_slam_tpu.graph import GraphBuilder
+
+        graph, values, _ = make_ba_graph(
+            n_poses=4, n_points=30, obs_per_point=3, seed=2,
+            pixel_noise=0.5, dtype=jnp.float64, bucket=8)
+        # re-anchor landmark 3 with a second, offset prior
+        import numpy as _np
+
+        pp = graph.prior_point
+        extra_mean = _np.asarray(values.point[3]) + 0.05
+        slot = int(_np.asarray(pp.active).sum())
+        graph = graph._replace(prior_point=pp._replace(
+            idx=pp.idx.at[slot].set(3),
+            mean=pp.mean.at[slot].set(jnp.asarray(extra_mean)),
+            sqrt_info=pp.sqrt_info.at[slot].set(jnp.eye(3) * 5.0),
+            active=pp.active.at[slot].set(True)))
+
+        lay = layout_of(values)
+        tabs = build_point_obs(graph, lay.point_cap)
+        assert tabs[2].shape[1] == 2       # P = 2 prior slots
+        damping = jnp.asarray(1e-3, jnp.float64)
+        v_ne = schur_gn_step(graph, values, damping)
+        v_sq = sqrt_schur_gn_step(graph, values,
+                                  *[jnp.asarray(t) for t in tabs], damping,
+                                  chunk=16)
+        np.testing.assert_allclose(np.asarray(v_sq.point),
+                                   np.asarray(v_ne.point), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v_sq.pose_t),
+                                   np.asarray(v_ne.pose_t), atol=1e-6)
