@@ -24,6 +24,10 @@ executables + ROS launch files (params come from flags or a JSON config,
       (test_plane_check_vo)
   python -m graph_slam_tpu mesh       --pcd map.pcd --out mesh.ply
   python -m graph_slam_tpu filter     --pcd map.pcd --out filtered.pcd
+  python -m graph_slam_tpu serve      --port 7200
+      (streaming SLAM service: RGB-D frames in over TCP, poses out)
+  python -m graph_slam_tpu publish    --pcd map.pcd
+      (pub_pcd role: PointCloud2-layout TCP republisher)
   python -m graph_slam_tpu bench      (sphere2500 GN throughput)
 
 Frame directories hold ``.gsf`` files named ``{seq:07d}.gsf``
