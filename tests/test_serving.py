@@ -113,3 +113,43 @@ def test_serve_cli_smoke():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_serve_slam_session_survives_reconnect_and_garbage():
+    """The estimator session must persist across a dropped client AND a
+    malformed message: reconnecting continues the same trajectory."""
+    ready = threading.Event()
+    ports: list = []
+    th = threading.Thread(
+        target=serve_slam,
+        args=(SR4000, SlamParams(optimize_step=100)),
+        kwargs=dict(port=0, ready=ready, port_out=ports,
+                    slam_kwargs=dict(n_hyp=512, min_inliers=10)),
+        daemon=True)
+    th.start()
+    assert ready.wait(30)
+
+    xs = [0.0, 0.12, 0.24, 0.36]
+    c1 = SlamClient("127.0.0.1", ports[0], timeout=300.0)
+    for seq, x in enumerate(xs[:2]):
+        img, depth = render_wall_frame(SR4000, np.array([x, 0.0, 0.0]))
+        assert c1.send_frame(seq, img, depth)["type"] == "pose"
+    c1.sock.close()                      # client drops mid-session
+
+    c2 = SlamClient("127.0.0.1", ports[0], timeout=300.0)
+    # malformed frame: truncated payload -> error reply, session alive
+    from graph_slam_tpu.serving import recv_msg, send_msg
+
+    send_msg(c2.sock, {"type": "frame", "seq": 99}, b"garbage")
+    rep, _ = recv_msg(c2.sock)
+    assert rep["type"] == "error"
+    for seq, x in enumerate(xs[2:], start=2):
+        img, depth = render_wall_frame(SR4000, np.array([x, 0.0, 0.0]))
+        rep = c2.send_frame(seq, img, depth)
+        assert rep["type"] == "pose"
+    summary = c2.finish()
+    th.join(timeout=120)
+    assert summary["keyframes"] == 4     # both connections' frames
+    t = np.asarray(summary["t"])
+    for k, x in enumerate(xs):
+        assert abs(t[k, 0] - x) < 0.05, (k, t[k], x)
