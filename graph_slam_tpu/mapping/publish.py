@@ -159,7 +159,7 @@ def serve_pointcloud(points, colors=None, host: str = "127.0.0.1",
                 del subs[s]
                 continue
             try:
-                sent = s.send(memoryview(q))   # no copy of the backlog
+                sent = s.send(q)    # bytearray rides the buffer protocol
                 del q[:sent]
             except (BlockingIOError, InterruptedError):
                 pass
@@ -192,12 +192,14 @@ def serve_pointcloud(points, colors=None, host: str = "127.0.0.1",
             cycles += 1
     finally:
         # bounded drain so an exiting loop does not truncate the final
-        # frame(s) still queued for live-but-slow subscribers
-        deadline = time.monotonic() + 5.0
-        while any(subs.values()) and time.monotonic() < deadline:
-            _flush(frame_len)
-            if any(subs.values()):
-                time.sleep(0.02)
+        # frame(s) still queued for live-but-slow subscribers; a
+        # stop-triggered shutdown returns promptly instead
+        if stop is None or not stop.is_set():
+            deadline = time.monotonic() + 5.0
+            while any(subs.values()) and time.monotonic() < deadline:
+                _flush(frame_len)
+                if any(subs.values()):
+                    time.sleep(0.02)
         for s in subs:
             s.close()
         srv.close()

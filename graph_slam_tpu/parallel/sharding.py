@@ -279,8 +279,8 @@ def sharded_ba_sqrt(mesh: Mesh, graph: FactorGraph, values: VariableArena,
     if pad:
         obs_idx = np.pad(obs_idx, ((0, pad), (0, 0)))
         obs_valid = np.pad(obs_valid, ((0, pad), (0, 0)))
-        prior_row = np.pad(prior_row, (0, pad))
-        prior_valid = np.pad(prior_valid, (0, pad))
+        prior_row = np.pad(prior_row, ((0, pad), (0, 0)))
+        prior_valid = np.pad(prior_valid, ((0, pad), (0, 0)))
 
     fn = jax.jit(shard_map(
         functools.partial(_ba_sqrt_local, iterations=int(iterations),

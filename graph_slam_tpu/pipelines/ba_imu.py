@@ -32,6 +32,11 @@ from .vio import _pad_window
 __all__ = ["BaImuConfig", "BaImuResult", "run_ba_imu"]
 
 
+# longest feature track the sqrt-Schur QR stack accepts before run_ba_imu
+# falls back to generic LM (every landmark's block pads to the max track)
+_SQRT_MAX_TRACK = 64
+
+
 @dataclasses.dataclass
 class BaImuConfig:
     use_imu: bool = True
@@ -193,27 +198,40 @@ def run_ba_imu(frames, matches: Callable, img_times,
     if cfg.solver == "schur":
         # normal-equations Schur needs f64 (cancellation); on f32-only
         # runs route to the square-root (QR) elimination instead
+        import warnings
+
         import jax as _jax
 
         # the QR stack pads every landmark to the LONGEST track (K): a
         # single feature tracked across hundreds of frames would make the
-        # per-landmark blocks O(K^2) — route such graphs to the generic
-        # LM instead of the sqrt elimination
+        # per-landmark blocks O(K^2) — route such graphs away from the
+        # sqrt elimination (threshold must stay in sync with
+        # build_point_obs's K-padding cost model)
         act = np.asarray(graph.projection.active)
         pidx = np.asarray(graph.projection.point_idx)[act]
         max_track = int(np.bincount(pidx).max()) if pidx.size else 0
+        track_ok = max_track <= _SQRT_MAX_TRACK
+        if not track_ok and (cfg.sharded > 0
+                             or not _jax.config.read("jax_enable_x64")):
+            warnings.warn(
+                f"ba-imu: longest feature track ({max_track} observations)"
+                f" exceeds {_SQRT_MAX_TRACK}; the sqrt-Schur elimination "
+                "would pad every landmark to it — falling back to the "
+                "generic LM solver"
+                + (" (the --sharded mesh will sit idle)" if cfg.sharded
+                   else ""))
 
-        if cfg.sharded > 0 and max_track <= 64:
+        if cfg.sharded > 0 and track_ok:
             from ..parallel import make_mesh, sharded_ba_sqrt
             vals, err = sharded_ba_sqrt(make_mesh(cfg.sharded), graph,
                                         values,
                                         iterations=cfg.schur_iters)
+        elif track_ok and not _jax.config.read("jax_enable_x64"):
+            vals, err = ba_gn_optimize_sqrt(graph, values,
+                                            iterations=cfg.schur_iters)
         elif _jax.config.read("jax_enable_x64"):
             vals, err = ba_gn_optimize(graph, values,
                                        iterations=cfg.schur_iters)
-        elif max_track <= 64:
-            vals, err = ba_gn_optimize_sqrt(graph, values,
-                                            iterations=cfg.schur_iters)
         else:
             res = lm_optimize(graph, values, lm_params)
             vals, err = res.values, res.error

@@ -124,8 +124,7 @@ def serve_slam(cam: CameraIntrinsics, params: Optional[SlamParams] = None,
                 while max_messages is None or n_msgs < max_messages:
                     try:
                         header, payload = recv_msg(conn)
-                    except (ConnectionError, struct.error, ValueError,
-                            OSError):
+                    except (struct.error, ValueError, OSError):
                         break           # client gone/garbled; await a
                         #                 reconnect — estimator state lives
                     n_msgs += 1
@@ -141,22 +140,34 @@ def serve_slam(cam: CameraIntrinsics, params: Optional[SlamParams] = None,
                                                  "error": f"bad frame: {e}"}):
                                 break
                             continue
-                        status = slam.process_frame(inten, depth,
-                                                    seq_id=seq)
+                        try:
+                            status = slam.process_frame(inten, depth,
+                                                        seq_id=seq)
+                        except (ValueError, TypeError) as e:
+                            # decodable but degenerate (e.g. tiny dims the
+                            # feature frontend rejects): error reply, the
+                            # session stays alive
+                            if not _reply(conn, {"type": "error",
+                                                 "error": f"bad frame: {e}"}):
+                                break
+                            continue
                         if not _reply(conn, _pose_reply(slam, seq, status)):
                             break
                     elif header.get("type") == "end":
                         chi2 = slam.optimize()
                         ids, t, q, seq = slam.trajectory()
-                        _reply(conn, {
+                        # only finish if the summary actually landed: a
+                        # client that drops right before its result can
+                        # reconnect and re-request 'end'
+                        done = _reply(conn, {
                             "type": "summary", "chi2": float(chi2),
                             "keyframes": slam.num_keyframes,
                             "ids": np.asarray(ids).tolist(),
                             "seq": np.asarray(seq).tolist(),
                             "t": np.asarray(t).tolist(),
                             "q": np.asarray(q).tolist()})
-                        done = True
-                        break
+                        if done:
+                            break
                     else:
                         if not _reply(conn, {"type": "error",
                                              "error": "unknown message "

@@ -206,17 +206,14 @@ class TestSqrtSchur:
             build_point_obs, schur_gn_step, sqrt_schur_gn_step)
         from graph_slam_tpu.graph.variables import layout_of
         from graph_slam_tpu.datasets import make_ba_graph
-        from graph_slam_tpu.graph import GraphBuilder
 
         graph, values, _ = make_ba_graph(
             n_poses=4, n_points=30, obs_per_point=3, seed=2,
             pixel_noise=0.5, dtype=jnp.float64, bucket=8)
         # re-anchor landmark 3 with a second, offset prior
-        import numpy as _np
-
         pp = graph.prior_point
-        extra_mean = _np.asarray(values.point[3]) + 0.05
-        slot = int(_np.asarray(pp.active).sum())
+        extra_mean = np.asarray(values.point[3]) + 0.05
+        slot = int(np.asarray(pp.active).sum())
         graph = graph._replace(prior_point=pp._replace(
             idx=pp.idx.at[slot].set(3),
             mean=pp.mean.at[slot].set(jnp.asarray(extra_mean)),
