@@ -419,6 +419,41 @@ def bench_dispatch():
             "value": round(dt / 8 * 1e3, 3), "unit": "ms/call"}
 
 
+def bench_chordal():
+    """Time-to-solution with chordal initialization (rotation averaging +
+    linear translation solve, graph/init.py) + 5 GN iterations, vs the
+    headline 200-GN-iteration program from the odometry-style initial, on
+    the same sphere2500 problem and convergence bar. The GN-200 program is
+    timed FIRST; any relay degradation from running two programs in one
+    process therefore lands on the chordal path, making the reported
+    speedup conservative."""
+    from graph_slam_tpu.graph import (chordal_initialize, gn_optimize,
+                                      total_error)
+
+    graph, values, _ = _sphere()
+
+    def gn200(v):
+        return gn_optimize(graph, v, iterations=ITERS_PER_CALL,
+                           solver="pcg", damping=1e-3, pcg_iters=PCG_ITERS)
+
+    def chordal_path(v):
+        v1 = chordal_initialize(graph, v)
+        return gn_optimize(graph, v1, iterations=5, solver="pcg",
+                           damping=1e-3, pcg_iters=PCG_ITERS)
+
+    dt_gn, res_gn = _chained_time(gn200, values, n_calls=1)
+    dt_ch, res_ch = _chained_time(chordal_path, values, n_calls=1)
+    e0 = float(total_error(graph, values))
+    e_gn, e_ch = float(res_gn.error), float(res_ch.error)
+    assert e_ch < 0.1 * e0, f"chordal path failed to converge: {e0}->{e_ch}"
+    return {"metric": "time-to-solution, chordal init + 5 GN vs 200-iter GN "
+                      "(sphere2500, same chi2 bar)",
+            "value": round(dt_gn / dt_ch, 2), "unit": "x speedup",
+            "wall_s_gn200": round(dt_gn, 3), "wall_s_chordal": round(dt_ch, 3),
+            "chi2_gn200": e_gn, "chi2_chordal": e_ch,
+            "chi2_rel_delta": round((e_ch - e_gn) / max(e_gn, 1e-30), 6)}
+
+
 def bench_banded_direct():
     """Headline config with the superblock block-Thomas EXACT direct
     solve (MXU-shaped dense Cholesky/matmul steps instead of CG over
@@ -562,6 +597,7 @@ def bench_ba_sqrt():
 SECONDARY = {
     "ba_schur": bench_ba_schur,
     "ba_sqrt": bench_ba_sqrt,
+    "chordal": bench_chordal,
     "vio_replay": bench_vio_replay,
     "vio_planes": bench_vio_planes,
     # the reference's FULL frame budget WITH plane rescue active (1%
@@ -737,13 +773,15 @@ def main():
             else {"skipped": "relay probe failed — falling back to the "
                              "200-frame flagship config"}
     est_s = {"vio_planes_27k": 1500, "vio_planes": 1000, "ba_schur": 500,
-             "ba_sqrt": 350, "banded_direct": 300, "amortized": 300}
+             "ba_sqrt": 350, "chordal": 400, "banded_direct": 300,
+             "amortized": 300}
     caps = {"vio_planes_27k": 1900, "vio_planes": 1300, "ba_schur": 900,
-            "ba_sqrt": 700, "banded_direct": 700, "amortized": 700}
+            "ba_sqrt": 700, "chordal": 800, "banded_direct": 700,
+            "amortized": 700}
     total_budget = 3400.0     # secondaries ~36 min on a typical day +
     #                           the headline ≈ the r2 driver capture wall
-    for name in (flagship, "ba_schur", "ba_sqrt", "banded_direct",
-                 "amortized"):
+    for name in (flagship, "ba_schur", "ba_sqrt", "chordal",
+                 "banded_direct", "amortized"):
         remaining = total_budget - (time.perf_counter() - t_budget)
         if remaining < est_s.get(name, 300):
             extra[name] = {"skipped": "bench time budget"}
@@ -761,7 +799,8 @@ def main():
         "matmuls on BA measured 6.8x worse final chi2 (see ba_schur."
         "bf16_chi2_rel_delta) — full precision stays default; ~180 "
         "ms/call relay overhead, ~0.05 ms/iter device time; re-run via "
-        "--single gather_pcg|banded|banded_direct|dispatch|amortized")
+        "--single gather_pcg|banded|banded_direct|chordal|dispatch|"
+        "amortized")
 
     print(json.dumps({
         "metric": f"GN iterations/sec on sphere{N_POSES} SE(3) pose graph "

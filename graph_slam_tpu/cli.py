@@ -75,7 +75,8 @@ def cmd_posegraph(args):
     # the preset's reserved "backend" key selects the fake-odometry
     # weighting (gtsam I*1e4 vs g2o I*1e-3, g2o_graph.cpp:151)
     backend = args.backend or preset.get("backend", "gtsam")
-    res = run_pose_graph(log, params, u2c=u2c, backend=backend)
+    res = run_pose_graph(log, params, u2c=u2c, backend=backend,
+                         init=getattr(args, "init", "odometry"))
     print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
           f"({res.iterations} LM iterations, {len(res.seq_ids)} nodes)")
     os.makedirs(args.out_dir, exist_ok=True)
@@ -323,6 +324,9 @@ def cmd_g2o(args):
         graph, values, ids = build_graph_from_g2o(vertices, edges)
         n_dev = args.sharded if args.sharded > 0 else len(jax.devices())
         e0 = float(total_error(graph, values))
+        if getattr(args, "init", "odometry") == "chordal":
+            from .graph import chordal_initialize
+            values = chordal_initialize(graph, values)
         vals, err = sharded_gn(make_mesh(n_dev), graph, values,
                                iterations=args.iters, damping=1e-6,
                                solver="pcg")
@@ -333,7 +337,8 @@ def cmd_g2o(args):
               f"({args.iters} sharded GN iterations over {n_dev} devices, "
               f"{len(res.seq_ids)} vertices)")
     else:
-        res = run_g2o_file(args.input, LMParams())
+        res = run_g2o_file(args.input, LMParams(),
+                           init=getattr(args, "init", "odometry"))
         print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
               f"({res.iterations} LM iterations, "
               f"{len(res.seq_ids)} vertices)")
@@ -544,6 +549,11 @@ def main(argv=None):
                    help="fake-odometry weighting: gtsam I*1e4 or g2o "
                         "I*1e-3 (default gtsam, or the preset's)")
     s.add_argument("--gt", help="ground-truth trajectory log for ATE/RPE")
+    s.add_argument("--init", choices=["odometry", "chordal"],
+                   default="odometry",
+                   help="initialization: odometry composition (reference "
+                        "semantics) or chordal relaxation (rotation "
+                        "averaging + linear translations)")
     s.set_defaults(fn=cmd_posegraph)
 
     s = sub.add_parser("vio", help="plane-aided VIO replay (VRO + IMU)")
@@ -642,6 +652,10 @@ def main(argv=None):
                         "N devices (0 = single-device LM)")
     s.add_argument("--iters", type=int, default=20,
                    help="GN iterations in --sharded mode")
+    s.add_argument("--init", choices=["odometry", "chordal"],
+                   default="odometry",
+                   help="chordal = rotation-averaging initialization "
+                        "before the solve")
     s.set_defaults(fn=cmd_g2o)
 
     s = sub.add_parser("map", help="trajectory + frames -> PCD/PLY map")

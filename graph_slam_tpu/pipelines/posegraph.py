@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..config import SlamParams
 from ..core import se3, so3
-from ..graph import GraphBuilder, LMParams, gn_optimize, lm_optimize, total_error
+from ..graph import (GraphBuilder, LMParams, chordal_initialize, gn_optimize,
+                     lm_optimize, total_error)
 from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
 
 __all__ = ["PoseGraphResult", "build_pose_graph", "run_pose_graph",
@@ -138,10 +139,15 @@ def run_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
                    u2c: Optional[se3.Pose] = None,
                    lm_params: LMParams = LMParams(),
                    bucket: int = 256,
-                   backend: str = "gtsam") -> PoseGraphResult:
+                   backend: str = "gtsam",
+                   init: str = "odometry") -> PoseGraphResult:
     graph, values, seq_ids = build_pose_graph(log, params, u2c, bucket=bucket,
                                               backend=backend)
     e0 = float(total_error(graph, values))
+    if init == "chordal":
+        values = chordal_initialize(graph, values)
+    elif init != "odometry":
+        raise ValueError(f"unknown init {init!r} (odometry|chordal)")
     if params.optimizer == "gn":
         res = gn_optimize(graph, values, iterations=params.optimize_step)
     else:
@@ -180,13 +186,15 @@ def build_graph_from_g2o(vertices: dict, edges: list, bucket: int = 256):
 
 
 def run_g2o_file(path: str, lm_params: LMParams = LMParams(),
-                 bucket: int = 256) -> PoseGraphResult:
+                 bucket: int = 256, init: str = "odometry") -> PoseGraphResult:
     """Read a .g2o pose graph, optimize, return the result."""
     from ..io import read_g2o
 
     vertices, edges = read_g2o(path)
     graph, values, ids = build_graph_from_g2o(vertices, edges, bucket=bucket)
     e0 = float(total_error(graph, values))
+    if init == "chordal":
+        values = chordal_initialize(graph, values)
     res = lm_optimize(graph, values, lm_params)
     return PoseGraphResult(values=res.values, graph=graph, error0=e0,
                            error=float(res.error), seq_ids=ids,

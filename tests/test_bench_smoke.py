@@ -93,6 +93,12 @@ def test_ba_sqrt_path(monkeypatch):
     assert out["mfu_pct"] >= 0
 
 
+def test_chordal_path():
+    out = bench.bench_chordal()
+    assert out["value"] > 0
+    assert out["chi2_chordal"] <= 1.05 * max(out["chi2_gn200"], 1e-12)
+
+
 def test_banded_direct_path():
     out = bench.bench_banded_direct()
     assert out["value"] > 0
