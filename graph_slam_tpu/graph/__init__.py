@@ -2,6 +2,7 @@ from .variables import VariableArena, TangentLayout, layout_of, retract_all
 from .factors import FactorGraph, total_error, linearize_blocks, empty_graph
 from .builder import GraphBuilder, round_up
 from .banded import band_halfwidth, banded_gn_optimize
+from .gnc import GncResult, gnc_optimize
 from .init import chordal_initialize, project_so3
 from .lm import LMParams, LMResult, lm_optimize, gn_optimize
 from .online import IncrementalOptimizer, OnlineGraph
@@ -13,5 +14,6 @@ __all__ = [
     "LMParams", "LMResult", "lm_optimize", "gn_optimize",
     "band_halfwidth", "banded_gn_optimize",
     "chordal_initialize", "project_so3",
+    "GncResult", "gnc_optimize",
     "IncrementalOptimizer", "OnlineGraph",
 ]
