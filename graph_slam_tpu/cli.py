@@ -513,7 +513,8 @@ def cmd_serve(args):
               f"optimize_step={args.optimize_step})", flush=True)
 
     serve_slam(_camera(args), params, host=args.host, port=args.port,
-               max_messages=args.max_messages, on_bound=on_bound)
+               max_messages=args.max_messages, on_bound=on_bound,
+               slam_kwargs={"features": args.features})
 
 
 def cmd_bench(args):
@@ -747,6 +748,10 @@ def main(argv=None):
     s.add_argument("--optimize-step", type=int, default=10)
     s.add_argument("--max-messages", type=int, default=None,
                    help="stop after N messages (default: until 'end')")
+    s.add_argument("--features", choices=["harris", "sift"],
+                   default="harris",
+                   help="frontend: harris+patch or DoG/SIFT-class "
+                        "(rotation/scale-invariant)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("bench", help="sphere2500 GN throughput benchmark")

@@ -71,6 +71,7 @@ class OnlineSlam:
     min_inliers: int = 12
     seed: int = 0
     initial_pose_cap: int = 128   # arena start size; doubles on overflow
+    features: str = "harris"      # "harris" | "sift" frontend (vision/)
 
     def __post_init__(self):
         # preallocated online arenas: appends are jitted row writes, the
@@ -89,6 +90,8 @@ class OnlineSlam:
         self._values = None
         self._n_since_opt = 0
         self._sequence = 0
+        from ..vision.frontend import get_extractor
+        self._extract = get_extractor(self.features)
         from ..utils.profiling import Chi2Log, PhaseTimer
 
         self.chi2_log = Chi2Log()
@@ -130,9 +133,9 @@ class OnlineSlam:
         if seq_id is None:
             seq_id = self._sequence
         self._sequence += 1
-        frame = extract_features(self.cam, jnp.asarray(intensity),
-                                 jnp.asarray(depth),
-                                 max_features=self.max_features)
+        frame = self._extract(self.cam, jnp.asarray(intensity),
+                              jnp.asarray(depth),
+                              max_features=self.max_features)
 
         if not self.frames:
             self.og.set_pose(0, se3.identity())

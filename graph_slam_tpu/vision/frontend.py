@@ -135,21 +135,34 @@ def refine_edge_ba(key, frame_i: FeatureFrame, frame_j: FeatureFrame,
     return T, info6, chi2
 
 
-def make_feature_cache(frames, K, max_features: int = 256):
+def get_extractor(features: str = "harris"):
+    """Feature-extractor dispatch: ``harris`` (patch descriptors) or
+    ``sift`` (DoG keypoints + rotation/scale-invariant descriptors).
+    Both return a ``FeatureFrame`` with identical static-shape semantics."""
+    if features == "harris":
+        from .features import extract_features
+        return extract_features
+    if features == "sift":
+        from .sift import sift_features
+        return sift_features
+    raise ValueError(f"unknown feature extractor {features!r} (harris|sift)")
+
+
+def make_feature_cache(frames, K, max_features: int = 256,
+                       features: str = "harris"):
     """``seq_id -> FeatureFrame | None`` with per-sequence memoization.
 
     The shared lazy extraction closure behind every frame-source-driven
     tool (``make_ba_fn``, ``tools.make_frame_matcher``): ``frames`` maps a
     sequence id to ``(intensity, depth) | None``.
     """
-    from .features import extract_features
-
+    extract = get_extractor(features)
     cache: dict = {}
 
     def feat(seq):
         if seq not in cache:
             fr = frames(seq)
-            cache[seq] = None if fr is None else extract_features(
+            cache[seq] = None if fr is None else extract(
                 K, jnp.asarray(fr[0]), jnp.asarray(fr[1]),
                 max_features=max_features)
         return cache[seq]
