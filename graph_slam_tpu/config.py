@@ -39,8 +39,10 @@ class SlamParams:
     initial_pitch_degree: float = 0.0
     optimizer: str = "lm"            # "lm" | "gn"
     incremental: bool = True         # ISAM2-equivalent incremental updates
-    # robust kernel on VO between-factors: None or "huber" (gtsam-style
-    # Huber(k) downweighting of corrupted edges / loop closures)
+    # robust handling of corrupted VO edges / loop closures: None,
+    # "huber" (gtsam-style per-row Huber(k) kernel), or "gnc-tls" /
+    # "gnc-gm" (graduated non-convexity over the loop-closure edges,
+    # graph/gnc.py — odometry chain stays trusted)
     robust: Optional[str] = None
     robust_k: float = 1.345
 

@@ -96,12 +96,15 @@ def _gnc_run(graph, values, candidates, barc2, kind: str, outer_iters: int,
 
     r2_0 = _between_r2(graph, values)
     r2_max = jnp.max(jnp.where(cand, r2_0, 0.0))
-    # convex-start mu (Yang et al. §III-B); clamped away from 0 for the
-    # all-inlier case where 2 r2_max < barc2
+    # convex-start mu (Yang et al. §III-B). The paper anneals until a
+    # stopping criterion; this is a fixed-trip jitted loop, so mu0 is
+    # clamped to >= 1e-2 — with wild outliers the exact formula starts so
+    # small (r2_max ~ 1e6 => mu0 ~ 1e-6) that no practical number of x1.4
+    # steps reaches the TLS threshold regime.
     if tls:
-        mu0 = jnp.maximum(barc2 / (2.0 * r2_max - barc2), 1e-3)
+        mu0 = jnp.clip(barc2 / (2.0 * r2_max - barc2), 1e-2, 1e2)
     else:
-        mu0 = jnp.maximum(2.0 * r2_max / barc2, 1.0)
+        mu0 = jnp.clip(2.0 * r2_max / barc2, 1.0, 1e6)
 
     def body(_, state):
         vals, mu = state
@@ -123,7 +126,7 @@ def _gnc_run(graph, values, candidates, barc2, kind: str, outer_iters: int,
 
 def gnc_optimize(graph: FactorGraph, values: VariableArena,
                  candidates=None, kind: str = "tls",
-                 barc2: float | None = None, outer_iters: int = 20,
+                 barc2: float | None = None, outer_iters: int = 25,
                  gn_iters: int = 3, solver: str = "dense",
                  pcg_iters: int = 50, damping: float = 1e-6,
                  mu_factor: float = 1.4) -> GncResult:

@@ -47,18 +47,28 @@ def project_so3(A):
     return (U * D[..., None, :]) @ Vt
 
 
-def _laplacian_solve(M_blocks, rhs_blocks, eps):
-    """Solve the blockwise normal system; returns (P, 3, k) solutions."""
-    P = M_blocks.shape[0]
-    dt = M_blocks.dtype
-    Mfull = M_blocks.transpose(0, 2, 1, 3).reshape(3 * P, 3 * P)
-    Mfull = Mfull + eps * jnp.eye(3 * P, dtype=dt)
-    k = rhs_blocks.shape[-1]
-    rhs = rhs_blocks.reshape(3 * P, k)
+def _scatter_block(M, bi, bj, blocks):
+    """Add (F, 3, 3) blocks into the flat (3P, 3P) matrix at block
+    coordinates (bi, bj) — duplicate indices accumulate.
+
+    NOTE: a (P, P, 3, 3) block layout would be the natural expression, but
+    TPU tile padding expands trailing (3, 3) dims to (8, 128) tiles — a
+    measured 56.9x memory blowup (12.3 GB at P=2560). Scattering straight
+    into the flat matrix keeps the trailing dims tile-sized.
+    """
+    r3 = jnp.arange(3)
+    rows = 3 * bi[:, None, None] + r3[None, :, None]
+    cols = 3 * bj[:, None, None] + r3[None, None, :]
+    return M.at[rows, cols].add(blocks)
+
+
+def _solve_spd(Mfull, rhs):
+    """Cholesky solve; rhs (3P, k) -> (P, 3, k)."""
+    P3 = Mfull.shape[0]
     L = jnp.linalg.cholesky(Mfull)
     y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
     sol = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-    return sol.reshape(P, 3, k)
+    return sol.reshape(P3 // 3, 3, rhs.shape[-1])
 
 
 @jax.jit
@@ -85,43 +95,42 @@ def chordal_initialize(graph, values: VariableArena,
     w_a = pp.active.astype(dt) * jnp.asarray(anchor_weight, dt)
     a = pp.idx
 
+    # slots with no constraint at all: pin to identity so Cholesky holds
+    diag_mass = jnp.zeros((P,), dt).at[i].add(w_e).at[j].add(w_e).at[a].add(w_a)
+    loose = (diag_mass == 0).astype(dt)
+    diag_fix = jnp.repeat(loose, 3) + jnp.asarray(1e-8, dt)
+    didx = jnp.arange(3 * P)
+
     # --- rotation stage -------------------------------------------------
-    M = jnp.zeros((P, P, 3, 3), dt)
-    M = M.at[i, i].add(eyeF)                         # Q^T Q = I
-    M = M.at[j, j].add(eyeF)
-    M = M.at[i, j].add(-w_e[:, None, None] * Q.transpose(0, 2, 1))
-    M = M.at[j, i].add(-w_e[:, None, None] * Q)
-    M = M.at[a, a].add(w_a[:, None, None] * I3)
+    M = jnp.zeros((3 * P, 3 * P), dt)
+    M = _scatter_block(M, i, i, eyeF)                # Q^T Q = I
+    M = _scatter_block(M, j, j, eyeF)
+    M = _scatter_block(M, i, j, -w_e[:, None, None] * Q.transpose(0, 2, 1))
+    M = _scatter_block(M, j, i, -w_e[:, None, None] * Q)
+    M = _scatter_block(M, a, a, w_a[:, None, None] * I3)
+    M = M.at[didx, didx].add(diag_fix)
     rhs = jnp.zeros((P, 3, 3), dt)
     rhs = rhs.at[a].add(
         w_a[:, None, None] * pp.mean_R.transpose(0, 2, 1).astype(dt))
 
-    # slots with no constraint at all: pin to identity so Cholesky holds
-    diag_mass = jnp.zeros((P,), dt).at[i].add(w_e).at[j].add(w_e).at[a].add(w_a)
-    loose = (diag_mass == 0).astype(dt)
-    M = M + (loose[:, None, None, None] * I3) * jnp.eye(P, dtype=dt)[
-        :, :, None, None]
-
-    Yb = _laplacian_solve(M, rhs, eps=jnp.asarray(1e-8, dt))  # (P,3,3)=R^T
+    Yb = _solve_spd(M, rhs.reshape(3 * P, 3))        # (P,3,3) = R^T
     R_est = project_so3(Yb.transpose(0, 2, 1))
 
     # --- translation stage ----------------------------------------------
-    L = jnp.zeros((P, P, 3, 3), dt)
-    L = L.at[i, i].add(eyeF)
-    L = L.at[j, j].add(eyeF)
-    L = L.at[i, j].add(-eyeF)
-    L = L.at[j, i].add(-eyeF)
-    L = L.at[a, a].add(w_a[:, None, None] * I3)
-    L = L + (loose[:, None, None, None] * I3) * jnp.eye(P, dtype=dt)[
-        :, :, None, None]
+    L = jnp.zeros((3 * P, 3 * P), dt)
+    L = _scatter_block(L, i, i, eyeF)
+    L = _scatter_block(L, j, j, eyeF)
+    L = _scatter_block(L, i, j, -eyeF)
+    L = _scatter_block(L, j, i, -eyeF)
+    L = _scatter_block(L, a, a, w_a[:, None, None] * I3)
+    L = L.at[didx, didx].add(diag_fix)
     b_e = w_e[:, None] * jnp.einsum(
         "fab,fb->fa", R_est[i], bt.meas_t.astype(dt))
     g = jnp.zeros((P, 3), dt)
     g = g.at[j].add(b_e).at[i].add(-b_e)
     g = g.at[a].add(w_a[:, None] * pp.mean_t.astype(dt))
 
-    t_est = _laplacian_solve(L, g[:, :, None],
-                             eps=jnp.asarray(1e-8, dt))[:, :, 0]
+    t_est = _solve_spd(L, g.reshape(3 * P, 1))[:, :, 0]
 
     # keep original values on slots the system knows nothing about
     keep = loose.astype(bool)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..config import SlamParams
 from ..core import se3, so3
 from ..graph import (GraphBuilder, LMParams, chordal_initialize, gn_optimize,
-                     lm_optimize, total_error)
+                     gnc_optimize, lm_optimize, total_error)
 from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
 
 __all__ = ["PoseGraphResult", "build_pose_graph", "run_pose_graph",
@@ -148,6 +148,17 @@ def run_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
         values = chordal_initialize(graph, values)
     elif init != "odometry":
         raise ValueError(f"unknown init {init!r} (odometry|chordal)")
+    if params.robust in ("gnc-tls", "gnc-gm"):
+        # graduated non-convexity over the loop-closure edges; the
+        # odometry chain (consecutive graph ids) stays trusted
+        bt = graph.between
+        cand = (bt.j - bt.i) != 1
+        gres = gnc_optimize(graph, values, candidates=cand,
+                            kind=params.robust[4:])
+        return PoseGraphResult(
+            values=gres.values, graph=graph, error0=e0,
+            error=float(gres.error), seq_ids=seq_ids, iterations=20,
+        )
     if params.optimizer == "gn":
         res = gn_optimize(graph, values, iterations=params.optimize_step)
     else:

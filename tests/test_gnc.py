@@ -115,3 +115,49 @@ class TestGnc:
         _, graph_bad, values, _, _, _ = corrupted
         with pytest.raises(ValueError):
             gnc_optimize(graph_bad, values, kind="cauchy")
+
+
+def test_run_pose_graph_gnc():
+    """Pipeline wiring: SlamParams(robust='gnc-tls') shrugs off an
+    outlier loop closure that corrupts the plain LM solve."""
+    import jax.numpy as jnp
+
+    from graph_slam_tpu.config import SlamParams
+    from graph_slam_tpu.core import se3
+    from graph_slam_tpu.io.vro_log import VROLog
+    from graph_slam_tpu.pipelines import run_pose_graph
+
+    n = 24
+    gt = [(np_lie.so3_exp([0, 0, 2 * np.pi * k / n]),
+           np.array([np.cos(2 * np.pi * k / n),
+                     np.sin(2 * np.pi * k / n), 0.0])) for k in range(n)]
+
+    def rel(i, j):
+        Ri, ti = gt[i]
+        Rj, tj = gt[j]
+        T = se3.Pose(jnp.asarray(Ri.T @ Rj), jnp.asarray(Ri.T @ (tj - ti)))
+        return np.asarray(se3.logmap(T))
+
+    info = np.eye(6) * 100
+    rows = [(k, k - 1, rel(k - 1, k), info) for k in range(1, n)]
+    rows.append((n - 1, 0, rel(0, n - 1), info))           # true loop
+    rows.append((n // 2, 2, np.array([2.0, -1.0, 0.5,      # OUTLIER loop
+                                      0.9, -0.7, 0.4]), info))
+    log = VROLog(np.asarray([r[0] for r in rows]),
+                 np.asarray([r[1] for r in rows]),
+                 np.stack([r[2] for r in rows]),
+                 np.stack([r[3] for r in rows]))
+
+    plain = run_pose_graph(log, SlamParams(), bucket=32)
+    robust = run_pose_graph(log, SlamParams(robust="gnc-tls"), bucket=32)
+    # the pipeline anchors node 0 at identity (first-node prior), so
+    # gauge-align the ground truth to start at the origin (R_gt[0] = I)
+    ts = np.stack([t for _, t in gt])
+    ts = ts - ts[0]
+
+    def ate(res):
+        d = np.asarray(res.values.pose_t[:n]) - ts
+        return float(np.sqrt((d ** 2).sum(1).mean()))
+
+    assert ate(robust) < 0.05
+    assert ate(robust) < 0.2 * ate(plain)
