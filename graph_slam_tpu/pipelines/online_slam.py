@@ -72,6 +72,11 @@ class OnlineSlam:
     seed: int = 0
     initial_pose_cap: int = 128   # arena start size; doubles on overflow
     features: str = "harris"      # "harris" | "sift" frontend (vision/)
+    # global place-recognition loop closures (vision/place.py): try the
+    # top-k most similar keyframes OLDER than the lookback window each
+    # keyframe; 0 disables (the reference has no global tier)
+    global_loop_k: int = 0
+    global_loop_min_gap: int = 10  # proposals must be this many KFs old
 
     def __post_init__(self):
         # preallocated online arenas: appends are jitted row writes, the
@@ -92,6 +97,10 @@ class OnlineSlam:
         self._sequence = 0
         from ..vision.frontend import get_extractor
         self._extract = get_extractor(self.features)
+        self._places = None
+        if self.global_loop_k > 0:
+            from ..vision.place import PlaceIndex
+            self._places = PlaceIndex(seed=self.seed)
         from ..utils.profiling import Chi2Log, PhaseTimer
 
         self.chi2_log = Chi2Log()
@@ -143,6 +152,8 @@ class OnlineSlam:
                                    _sqrt_info(6, sigmas=np.full(6, 1e-7)))
             self.frames.append(frame)
             self.seq_ids.append(seq_id)
+            if self._places is not None:
+                self._places.add(frame)
             return FrameStatus.FIRST
 
     # -- odometry match vs the previous keyframe -----------------------
@@ -164,6 +175,8 @@ class OnlineSlam:
                          np.eye(6) * FAILED_INFO_SENTINEL)
             self.frames.append(frame)
             self.seq_ids.append(seq_id)
+            if self._places is not None:
+                self._places.add(frame)
             self._after_keyframe()
             return FrameStatus.FAILED
 
@@ -212,8 +225,37 @@ class OnlineSlam:
                              (np.asarray(Rs[c]), np.asarray(ts[c])),
                              np.asarray(infos[c]))
 
+        # -- global loop closures: place-recognition proposals beyond the
+        # lookback window (vision/place.py; no reference counterpart) --
+        if self._places is not None:
+            cand_ids, _ = self._places.query(
+                frame, top_k=self.global_loop_k,
+                max_id=gj - self.global_loop_min_gap + 1)
+            for ci in cand_ids:
+                ci = int(ci)
+                Rg, tg, infog, _, okg = match_frames_device(
+                    self._next_key(), self.frames[ci], frame,
+                    n_hyp=self.n_hyp, inlier_thresh=self.inlier_thresh,
+                    min_inliers=self.min_inliers)
+                if not bool(okg):
+                    continue
+                d, a = _motion_magnitude(Rg, tg)
+                if d > self.params.large_translation \
+                        or a > self.params.large_rotation:
+                    continue
+                if not np.isfinite(np.asarray(infog)).all():
+                    continue
+                self.og.add_between(
+                    ci, gj, se3.Pose(Rg, tg),
+                    _sqrt_info(6, information=np.asarray(infog)))
+                self._record(seq_id, self.seq_ids[ci],
+                             (np.asarray(Rg), np.asarray(tg)),
+                             np.asarray(infog))
+
         self.frames.append(frame)
         self.seq_ids.append(seq_id)
+        if self._places is not None:
+            self._places.add(frame)
         self._after_keyframe()
         return FrameStatus.KEYFRAME
 
