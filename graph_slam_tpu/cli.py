@@ -69,6 +69,9 @@ def cmd_posegraph(args):
     from .pipelines import run_pose_graph, trajectory_arrays
 
     params = _load_params(args)
+    if getattr(args, "robust", None):
+        import dataclasses as _dc
+        params = _dc.replace(params, robust=args.robust)
     preset = _load_config_dict(args)
     log = read_vro_log(args.vro)
     u2c = extrinsics.camera_to_imu(args.pitch) if args.imu_frame else None
@@ -555,6 +558,11 @@ def main(argv=None):
                    help="initialization: odometry composition (reference "
                         "semantics) or chordal relaxation (rotation "
                         "averaging + linear translations)")
+    s.add_argument("--robust", choices=["huber", "gnc-tls", "gnc-gm"],
+                   default=None,
+                   help="robust edge handling: per-row Huber kernel or "
+                        "graduated non-convexity over loop closures "
+                        "(overrides the config's)")
     s.set_defaults(fn=cmd_posegraph)
 
     s = sub.add_parser("vio", help="plane-aided VIO replay (VRO + IMU)")

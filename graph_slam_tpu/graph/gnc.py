@@ -40,7 +40,10 @@ __all__ = ["GncResult", "gnc_optimize"]
 
 class GncResult(NamedTuple):
     values: VariableArena
-    error: jnp.ndarray        # chi2 of the UNWEIGHTED graph at the solution
+    error: jnp.ndarray        # chi2 with the converged weights applied
+    #                           (rejected edges contribute 0 — the robust
+    #                           cost; equals plain chi2 when all-inlier)
+    error_raw: jnp.ndarray    # chi2 of the UNWEIGHTED graph at the solution
     weights: jnp.ndarray      # (F,) final per-between-edge weights in [0, 1]
     inliers: jnp.ndarray      # (F,) bool, weights > 0.5 on candidate rows
     mu: jnp.ndarray           # final convexity parameter
@@ -121,7 +124,8 @@ def _gnc_run(graph, values, candidates, barc2, kind: str, outer_iters: int,
 
     r2 = _between_r2(graph, vals)
     w = jnp.where(cand, weight_fn(r2, mu, barc2), 1.0)
-    return vals, total_error(graph, vals), w, (w > 0.5) | ~cand, mu
+    return (vals, total_error(_scaled(graph, w), vals),
+            total_error(graph, vals), w, (w > 0.5) | ~cand, mu)
 
 
 def gnc_optimize(graph: FactorGraph, values: VariableArena,
@@ -149,8 +153,8 @@ def gnc_optimize(graph: FactorGraph, values: VariableArena,
     dt = values.pose_t.dtype
     if barc2 is None:
         barc2 = chi2_quantile(6, 0.01)
-    vals, err, w, inl, mu = _gnc_run(
+    vals, err, err_raw, w, inl, mu = _gnc_run(
         graph, values, jnp.asarray(candidates, bool),
         jnp.asarray(barc2, dt), kind, outer_iters, gn_iters, solver,
         pcg_iters, float(damping), jnp.asarray(mu_factor, dt))
-    return GncResult(vals, err, w, inl, mu)
+    return GncResult(vals, err, err_raw, w, inl, mu)

@@ -150,11 +150,16 @@ def run_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
         raise ValueError(f"unknown init {init!r} (odometry|chordal)")
     if params.robust in ("gnc-tls", "gnc-gm"):
         # graduated non-convexity over the loop-closure edges; the
-        # odometry chain (consecutive graph ids) stays trusted
+        # odometry chain (consecutive graph ids) stays trusted. Dense
+        # solves are right up to a few thousand tangent dims; beyond
+        # that the anneal runs on matrix-free PCG.
         bt = graph.between
         cand = (bt.j - bt.i) != 1
+        big = values.pose_R.shape[0] * 6 > 4096
         gres = gnc_optimize(graph, values, candidates=cand,
-                            kind=params.robust[4:])
+                            kind=params.robust[4:],
+                            solver="pcg" if big else "dense",
+                            damping=1e-3 if big else 1e-6)
         return PoseGraphResult(
             values=gres.values, graph=graph, error0=e0,
             error=float(gres.error), seq_ids=seq_ids, iterations=20,
