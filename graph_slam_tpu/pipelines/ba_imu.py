@@ -62,7 +62,8 @@ class BaImuResult:
 
 
 def features_from_store(frames_provider, seq_ids, K,
-                        max_features: int = 256, ratio: float = 0.8):
+                        max_features: int = 256, ratio: float = 0.8,
+                        features: str = "harris"):
     """Build ``run_ba_imu``'s (frames, matches) inputs from raw RGB-D frames.
 
     Extracts features per frame (the driver's featureExtraction role,
@@ -71,8 +72,10 @@ def features_from_store(frames_provider, seq_ids, K,
     """
     import jax.numpy as _jnp
 
-    from ..vision.features import extract_features
+    from ..vision.frontend import get_extractor
     from ..vision.matching import match_descriptors
+
+    extract_features = get_extractor(features)
 
     ffs = []
     frames_out = []
