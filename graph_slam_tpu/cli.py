@@ -23,6 +23,9 @@ executables + ROS launch files (params come from flags or a JSON config,
   python -m graph_slam_tpu plane-check --vro ... --frames DIR
       (test_plane_check_vo)
   python -m graph_slam_tpu mesh       --pcd map.pcd --out mesh.ply
+  python -m graph_slam_tpu tsdf       --traj trajectory.log --frames DIR
+      --out mesh.ply                  (volumetric TSDF fusion + marching
+                                       tetrahedra; beyond the reference)
   python -m graph_slam_tpu filter     --pcd map.pcd --out filtered.pcd
   python -m graph_slam_tpu serve      --port 7200
       (streaming SLAM service: RGB-D frames in over TCP, poses out)
@@ -472,6 +475,26 @@ def cmd_mesh(args):
     print(f"wrote {args.out}: {len(verts)} vertices, {len(faces)} faces")
 
 
+def cmd_tsdf(args):
+    from .core import extrinsics
+    from .io import open_frame_source, read_trajectory
+    from .mapping import extract_mesh, fuse_trajectory, write_ply_mesh
+
+    traj = read_trajectory(args.traj)
+    store = open_frame_source(args.frames)
+    u2c = extrinsics.camera_to_imu(args.pitch) if args.imu_frame else None
+    if args.origin is not None:
+        origin = np.asarray([float(x) for x in args.origin.split(",")])
+    else:
+        origin = traj.t.mean(0) - args.size / 2.0
+    vol = fuse_trajectory(traj, store, _camera(args), origin, args.size,
+                          n=args.n, stride=args.stride, u2c=u2c)
+    verts, faces = extract_mesh(vol, min_weight=args.min_weight)
+    write_ply_mesh(args.out, verts, faces)
+    print(f"wrote {args.out}: {len(verts)} vertices, {len(faces)} faces "
+          f"(grid {args.n}^3, voxel {args.size / args.n:.3f} m)")
+
+
 def cmd_filter(args):
     from .mapping import occupancy_denoise, passthrough, read_pcd, write_pcd
 
@@ -724,6 +747,26 @@ def main(argv=None):
     s.add_argument("--cell", type=float, default=0.05)
     s.add_argument("--max-edge", type=float, default=0.15)
     s.set_defaults(fn=cmd_mesh)
+
+    s = sub.add_parser("tsdf",
+                       help="trajectory + frames -> fused TSDF -> mesh PLY "
+                            "(volumetric upgrade over map+mesh)")
+    s.add_argument("--traj", required=True)
+    s.add_argument("--frames", required=True, help=".gsf frame directory")
+    s.add_argument("--out", required=True, help=".ply mesh output")
+    s.add_argument("--size", type=float, default=8.0,
+                   help="cubic volume edge length in meters")
+    s.add_argument("--n", type=int, default=128, help="grid resolution")
+    s.add_argument("--origin",
+                   help="x,y,z of the volume corner (default: cube "
+                        "centered on the trajectory mean)")
+    s.add_argument("--stride", type=int, default=1)
+    s.add_argument("--min-weight", type=float, default=1.0)
+    s.add_argument("--camera", choices=["sr4000", "rs435"],
+                   default="sr4000")
+    s.add_argument("--pitch", type=float, default=0.0)
+    s.add_argument("--imu-frame", action="store_true")
+    s.set_defaults(fn=cmd_tsdf)
 
     s = sub.add_parser("filter", help="denoise / passthrough a PCD")
     s.add_argument("--pcd", required=True)

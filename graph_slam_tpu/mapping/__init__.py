@@ -15,6 +15,13 @@ from .publish import (
     read_published,
     serve_pointcloud,
 )
+from .tsdf import (
+    TsdfVolume,
+    extract_mesh,
+    fuse_trajectory,
+    integrate,
+    make_volume,
+)
 from .video import follow_camera_pose, incremental_map_video
 from .viewers import write_image_grid, write_registration_ply
 
@@ -24,6 +31,8 @@ __all__ = [
     "passthrough", "read_pcd", "voxel_filter", "write_pcd",
     "decode_pointcloud2", "encode_pointcloud2", "publish_pcd",
     "read_published", "serve_pointcloud",
+    "TsdfVolume", "extract_mesh", "fuse_trajectory", "integrate",
+    "make_volume",
     "follow_camera_pose", "incremental_map_video",
     "write_image_grid", "write_registration_ply",
 ]
