@@ -305,11 +305,12 @@ def cmd_diff(args):
 
 
 def _camera(args, preset=None):
-    from .config import RS435, SR4000
+    from .config import RS435, SR4000, TUM_FR1, TUM_FR2, TUM_FR3
 
     name = getattr(args, "camera", None) or (preset or {}).get("camera") \
         or "sr4000"
-    return {"sr4000": SR4000, "rs435": RS435}[name]
+    return {"sr4000": SR4000, "rs435": RS435, "tum-fr1": TUM_FR1,
+            "tum-fr2": TUM_FR2, "tum-fr3": TUM_FR3}[name]
 
 
 def cmd_g2o(args):
@@ -603,7 +604,7 @@ def main(argv=None):
                    help="frame directory (.gsf or PNG pairs) enabling the "
                         "frames-driven plane rescue (flips the default "
                         "--plane-mode to 'rescue')")
-    s.add_argument("--camera", choices=["sr4000", "rs435"], default=None)
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default=None)
     s.add_argument("--engine", choices=["online", "scan", "rebuild"],
                    default=None,
                    help="replay engine: per-frame online arenas (default), "
@@ -653,7 +654,7 @@ def main(argv=None):
                         "err_raw', from plane-check --out); otherwise "
                         "scored from --frames")
     s.add_argument("--frames", help="frame directory (when no --scores)")
-    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default="sr4000")
     s.add_argument("--max-planes", type=int, default=4)
     s.add_argument("--thresh", type=float, default=100.0,
                    help="Mahalanobis score above which an edge is voided")
@@ -664,7 +665,7 @@ def main(argv=None):
                        help="add VO edges around feature-sparse frames")
     s.add_argument("--vro", required=True)
     s.add_argument("--frames", required=True)
-    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default="sr4000")
     s.add_argument("--window", type=int, default=5)
     s.add_argument("--sparse-thresh", type=int, default=60)
     s.add_argument("--max-features", type=int, default=256)
@@ -694,7 +695,7 @@ def main(argv=None):
     s.add_argument("--traj", required=True)
     s.add_argument("--frames", required=True, help=".gsf frame directory")
     s.add_argument("--out", required=True, help=".pcd or .ply output")
-    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default="sr4000")
     s.add_argument("--stride", type=int, default=7)
     s.add_argument("--skip", type=int, default=2)
     s.add_argument("--voxel", type=float, default=0.0)
@@ -707,7 +708,7 @@ def main(argv=None):
                    help="one or more trajectory logs (mtraj overlay)")
     s.add_argument("--frames", required=True)
     s.add_argument("--out-dir", default="snaps")
-    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default="sr4000")
     s.add_argument("--every", type=int, default=5)
     s.add_argument("--voxel", type=float, default=0.05)
     s.set_defaults(fn=cmd_video)
@@ -715,7 +716,7 @@ def main(argv=None):
     s = sub.add_parser("ba-imu", help="BA(+IMU) over a frame sequence")
     s.add_argument("--frames", required=True)
     s.add_argument("--seqs", required=True, help="lo:hi[:step] sequence ids")
-    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default="sr4000")
     s.add_argument("--imu", help="VN100 log (optional)")
     s.add_argument("--times", help="'seq_id timestamp' lines (with --imu)")
     s.add_argument("--sharded", type=int, default=0, metavar="N",
@@ -726,7 +727,7 @@ def main(argv=None):
                        help="plane-consistency scoring of VO edges")
     s.add_argument("--vro", required=True)
     s.add_argument("--frames", required=True)
-    s.add_argument("--camera", choices=["sr4000", "rs435"], default="sr4000")
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default="sr4000")
     s.add_argument("--max-planes", type=int, default=4)
     s.add_argument("--thresh", type=float, default=100.0)
     s.add_argument("--out")
@@ -762,7 +763,7 @@ def main(argv=None):
                         "centered on the trajectory mean)")
     s.add_argument("--stride", type=int, default=1)
     s.add_argument("--min-weight", type=float, default=1.0)
-    s.add_argument("--camera", choices=["sr4000", "rs435"],
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"],
                    default="sr4000")
     s.add_argument("--pitch", type=float, default=0.0)
     s.add_argument("--imu-frame", action="store_true")
@@ -794,7 +795,7 @@ def main(argv=None):
                             "TCP, poses out (the online ROS-node role)")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=7200)
-    s.add_argument("--camera", choices=["sr4000", "rs435"],
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"],
                    default="sr4000")
     s.add_argument("--optimize-step", type=int, default=10)
     s.add_argument("--max-messages", type=int, default=None,

@@ -82,6 +82,18 @@ RS435 = CameraIntrinsics(fx=617.306, fy=617.714, cx=326.245, cy=239.974,
                          width=640, height=480, depth_scale=0.001)
 RS200 = RS435
 
+# TUM RGB-D benchmark Kinects (Sturm et al., IROS 2012; 1/5000 m depth
+# units — io/tum.py applies the scale, depth_scale here is meters-per-
+# stored-unit for the native .gsf store only)
+TUM_FR1 = CameraIntrinsics(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+                           k1=0.2624, k2=-0.9531, p1=-0.0054, p2=0.0026,
+                           width=640, height=480, depth_scale=0.0002)
+TUM_FR2 = CameraIntrinsics(fx=520.9, fy=521.0, cx=325.1, cy=249.7,
+                           k1=0.2312, k2=-0.7849, p1=-0.0033, p2=-0.0001,
+                           width=640, height=480, depth_scale=0.0002)
+TUM_FR3 = CameraIntrinsics(fx=535.4, fy=539.2, cx=320.1, cy=247.6,
+                           width=640, height=480, depth_scale=0.0002)
+
 
 # Launch-file presets (the reference's 25 launch/**/*.launch files, SURVEY
 # §5 "launch-file presets become YAML/JSON configs"): JSON files shipped

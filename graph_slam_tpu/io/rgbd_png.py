@@ -73,9 +73,14 @@ class PngFrameStore:
 
 
 def open_frame_source(directory: str):
-    """Auto-detect a frame directory: .gsf store or PNG pairs."""
+    """Auto-detect a frame directory: .gsf store, TUM sequence, or PNG
+    pairs."""
+    from .tum import TumDataset, is_tum_dir
+
     if glob.glob(os.path.join(directory, "*.gsf")):
         return FrameStore(directory)
+    if is_tum_dir(directory):
+        return TumDataset(directory)
     if glob.glob(os.path.join(directory, "*.png")):
         return PngFrameStore(directory)
     return FrameStore(directory)   # empty dir: default to the native store
