@@ -6,6 +6,9 @@ executables + ROS launch files (params come from flags or a JSON config,
 
   python -m graph_slam_tpu posegraph  --vro vro_results.log --out-dir out/
       (test_gt_graph offline replay)
+  python -m graph_slam_tpu slam       --frames DIR [--gt groundtruth.txt]
+      (test_gt_graph ONLINE: frontend + keyframing + loop closures; frame
+       dirs may be .gsf stores, TUM sequences, or PNG pairs)
   python -m graph_slam_tpu vio        --vro ... --imu imu.log --times t.txt
       (test_vro_imu_graph)
   python -m graph_slam_tpu convert    --vro ... --model cut --matches m.log
@@ -387,6 +390,103 @@ def cmd_video(args):
     print(f"wrote {len(snaps)} snapshots to {args.out_dir}")
 
 
+def cmd_slam(args):
+    """Online frames-driven SLAM (the reference's flagship ONLINE driver,
+    test_gt_graph.cpp:38-130): frame -> feature frontend -> keyframing +
+    loop closures -> periodic batch LM -> trajectory/PLY, with optional
+    VRO-log recording (recordVROResult role) and ATE/RPE against either a
+    TUM groundtruth.txt or a framework trajectory.log."""
+    from .io import open_frame_source
+    from .io.tum import TumDataset, is_tum_dir
+    from .pipelines import OnlineSlam
+
+    params = _load_params(args)
+    preset = _load_config_dict(args)
+    src = open_frame_source(args.frames)
+    if getattr(args, "camera", None) is None and not (preset or {}).get(
+            "camera") and is_tum_dir(args.frames):
+        args.camera = "tum-fr1"
+        print("note: TUM sequence detected, camera preset 'tum-fr1' "
+              "(override with --camera)")
+    K = _camera(args, preset)
+    backend = args.backend or preset.get("backend", "gtsam")
+    slam = OnlineSlam(cam=K, params=params, backend=backend,
+                      max_features=args.max_features, n_hyp=args.n_hyp,
+                      min_inliers=args.min_inliers, features=args.features,
+                      global_loop_k=args.global_loop_k)
+
+    counts: dict = {}
+    n_fed = 0
+    misses = 0
+    seq = args.start
+    while n_fed < args.max_frames:
+        frame = src(seq)
+        if frame is None:
+            misses += 1
+            if misses >= 3 or isinstance(src, TumDataset):
+                break          # TUM length is exact; stores may have gaps
+            seq += args.stride
+            continue
+        misses = 0
+        st = slam.process_frame(frame[0], frame[1], seq_id=seq)
+        counts[st] = counts.get(st, 0) + 1
+        n_fed += 1
+        seq += args.stride
+    if slam.num_keyframes == 0:
+        raise SystemExit(f"slam: no frames found under {args.frames}")
+    err = slam.optimize()
+    summary = " ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+    print(f"frames={n_fed} keyframes={slam.num_keyframes} [{summary}]")
+    print(f"final chi2: {err:.6f}")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    from .io import write_trajectory, write_trajectory_ply
+
+    ids, t, q, seqs = slam.trajectory()
+    write_trajectory(os.path.join(args.out_dir, "trajectory.log"),
+                     ids, t, q, seqs)
+    write_trajectory_ply(os.path.join(args.out_dir, "trajectory.ply"), t)
+    print(f"wrote {args.out_dir}/trajectory.log, trajectory.ply")
+    if args.record:
+        slam.save_vro_log(args.record)
+        print(f"recorded VRO log: {args.record} ({len(slam.records)} edges)")
+    _report_slam_gt(args, src, t, seqs)
+
+
+def _report_slam_gt(args, src, est_t, est_seq):
+    """ATE/RPE for cmd_slam: TUM groundtruth.txt (timestamp-associated) or
+    framework trajectory.log (row-indexed)."""
+    if not getattr(args, "gt", None):
+        return
+    from .utils.metrics import ate_rmse, rpe
+
+    ncols = 0
+    with open(args.gt) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                ncols = len(line.split())
+                break
+    if ncols == 8:           # TUM: t tx ty tz qx qy qz qw
+        from .io import groundtruth_at
+
+        ts = getattr(src, "timestamps", None)
+        if ts is None:
+            print("gt: TUM-format ground truth needs a timestamped "
+                  "(TUM) frame source; skipping ATE")
+            return
+        iq, gt_t, _ = groundtruth_at(args.gt, ts[np.asarray(est_seq)],
+                                     max_dt=args.gt_max_dt)
+        if len(iq) < 2:
+            print("gt: no keyframes matched a ground-truth timestamp")
+            return
+        est = est_t[iq]
+        print(f"ATE RMSE: {ate_rmse(est, gt_t):.6f} m  "
+              f"RPE(1): {rpe(est, gt_t):.6f} m  ({len(iq)} matched poses)")
+    else:                    # framework log: id x y z qx qy qz qw sid
+        _report_vs_gt(args, est_t)
+
+
 def cmd_ba_imu(args):
     from .imu import read_vn100_log, vn100_params
     from .io import open_frame_source
@@ -712,6 +812,39 @@ def main(argv=None):
     s.add_argument("--every", type=int, default=5)
     s.add_argument("--voxel", type=float, default=0.05)
     s.set_defaults(fn=cmd_video)
+
+    s = sub.add_parser(
+        "slam", help="ONLINE frames-driven SLAM (test_gt_graph role): "
+        "feature frontend + keyframing + loop closures + periodic LM")
+    s.add_argument("--frames", required=True,
+                   help="frame dir (.gsf store, TUM sequence, or PNG pairs)")
+    s.add_argument("--out-dir", default="out")
+    s.add_argument("--camera",
+                   choices=["sr4000", "rs435", "tum-fr1", "tum-fr2",
+                            "tum-fr3"],
+                   default=None,
+                   help="intrinsics preset (default: tum-fr1 for TUM "
+                        "sequences, else sr4000)")
+    s.add_argument("--config", help="JSON preset (configs/*.json)")
+    s.add_argument("--backend", choices=["gtsam", "g2o"], default=None,
+                   help="fake-odometry weighting semantics")
+    s.add_argument("--features", choices=["harris", "sift"],
+                   default="harris")
+    s.add_argument("--start", type=int, default=0)
+    s.add_argument("--stride", type=int, default=1)
+    s.add_argument("--max-frames", type=int, default=1000000)
+    s.add_argument("--max-features", type=int, default=256)
+    s.add_argument("--n-hyp", type=int, default=2048,
+                   help="RANSAC hypotheses per match")
+    s.add_argument("--min-inliers", type=int, default=12)
+    s.add_argument("--global-loop-k", type=int, default=0,
+                   help="place-recognition loop-closure proposals per "
+                        "keyframe beyond the lookback window (0 = off)")
+    s.add_argument("--record", help="write the accepted edges as a VRO log")
+    s.add_argument("--gt", help="TUM groundtruth.txt or trajectory.log "
+                                "for ATE/RPE")
+    s.add_argument("--gt-max-dt", type=float, default=0.02)
+    s.set_defaults(fn=cmd_slam)
 
     s = sub.add_parser("ba-imu", help="BA(+IMU) over a frame sequence")
     s.add_argument("--frames", required=True)

@@ -24,7 +24,7 @@ import numpy as np
 from .trajectory import Trajectory
 
 __all__ = ["TumDataset", "associate_timestamps", "read_tum_groundtruth",
-           "is_tum_dir"]
+           "groundtruth_at", "is_tum_dir"]
 
 
 def _read_list(path):
@@ -123,8 +123,8 @@ class TumDataset:
         return rgb, dep.astype(np.float32) * self.depth_scale
 
 
-def read_tum_groundtruth(path: str) -> Trajectory:
-    """groundtruth.txt (t tx ty tz qx qy qz qw) -> Trajectory (w-first)."""
+def _read_gt_rows(path: str):
+    """groundtruth.txt -> (timestamps (N,), t (N,3), quat_wxyz (N,4))."""
     rows = []
     with open(path) as f:
         for line in f:
@@ -135,8 +135,28 @@ def read_tum_groundtruth(path: str) -> Trajectory:
             if len(tok) < 8:
                 continue
             rows.append(tok[:8])
-    arr = np.asarray(rows)
-    n = len(arr)
+    arr = np.asarray(rows).reshape(-1, 8)
     quat_wxyz = np.concatenate([arr[:, 7:8], arr[:, 4:7]], axis=1)
-    return Trajectory(ids=np.arange(n), t=arr[:, 1:4], quat=quat_wxyz,
+    return arr[:, 0], arr[:, 1:4], quat_wxyz
+
+
+def read_tum_groundtruth(path: str) -> Trajectory:
+    """groundtruth.txt (t tx ty tz qx qy qz qw) -> Trajectory (w-first)."""
+    ts, t, quat_wxyz = _read_gt_rows(path)
+    n = len(ts)
+    return Trajectory(ids=np.arange(n), t=t, quat=quat_wxyz,
                       seq=np.arange(n))
+
+
+def groundtruth_at(path: str, timestamps, max_dt: float = 0.02):
+    """Ground-truth poses at the query ``timestamps`` (benchmark eval rule:
+    nearest-timestamp association, unmatched queries dropped).
+
+    Returns ``(query_idx, t (M,3), quat_wxyz (M,4))`` where ``query_idx``
+    selects the matched entries of ``timestamps`` — feed the estimated
+    trajectory rows at those indices to ``utils.metrics.ate_rmse``.
+    """
+    gt_ts, gt_t, gt_q = _read_gt_rows(path)
+    iq, ig = associate_timestamps(np.asarray(timestamps, float), gt_ts,
+                                  max_dt=max_dt)
+    return iq, gt_t[ig], gt_q[ig]
