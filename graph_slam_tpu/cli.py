@@ -9,6 +9,8 @@ executables + ROS launch files (params come from flags or a JSON config,
   python -m graph_slam_tpu slam       --frames DIR [--gt groundtruth.txt]
       (test_gt_graph ONLINE: frontend + keyframing + loop closures; frame
        dirs may be .gsf stores, TUM sequences, or PNG pairs)
+  python -m graph_slam_tpu evaluate   --est trajectory.log --gt GT
+      (full ATE/RPE statistics; GT = TUM groundtruth.txt or trajectory.log)
   python -m graph_slam_tpu vio        --vro ... --imu imu.log --times t.txt
       (test_vro_imu_graph)
   python -m graph_slam_tpu convert    --vro ... --model cut --matches m.log
@@ -95,7 +97,21 @@ def cmd_posegraph(args):
                      ids, t, q, seq)
     write_trajectory_ply(os.path.join(args.out_dir, "trajectory.ply"), t)
     print(f"wrote {args.out_dir}/trajectory.log, trajectory.ply")
+    if getattr(args, "marginals", None):
+        _write_pose_marginals(args.marginals, res.graph, res.values,
+                              len(res.seq_ids))
     _report_vs_gt(args, t)
+
+
+def _write_pose_marginals(path, graph, values, n):
+    """Per-pose 6x6 marginal covariances (the Marginals(CHOLESKY) output
+    tier, gtsam_graph.cpp:598-601) in one factorization."""
+    from .graph import pose_marginals_all
+    from .io import write_marginals
+
+    covs = np.asarray(pose_marginals_all(graph, values, n))
+    write_marginals(path, np.arange(n), covs)
+    print(f"wrote {path} ({n} pose marginals)")
 
 
 def _report_vs_gt(args, est_t):
@@ -307,6 +323,68 @@ def cmd_diff(args):
           f"max |dt|={np.nanmax(dt):.6f} max |dr|={np.nanmax(dr):.6f}")
 
 
+def _gt_ncols(path: str) -> int:
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                return len(line.split())
+    return 0
+
+
+def cmd_evaluate(args):
+    """Trajectory evaluation (the TUM benchmark's evaluate_ate/evaluate_rpe
+    role): full ATE + RPE statistics of an estimated trajectory.log against
+    ground truth — a TUM groundtruth.txt (timestamp-associated through a
+    TUM frame dir) or another framework trajectory.log (row-indexed)."""
+    from .io import read_trajectory
+    from .utils.metrics import ate_stats, rpe_stats
+
+    est = read_trajectory(args.est)
+    est_t = est.t
+    if _gt_ncols(args.gt) == 8:        # TUM: t tx ty tz qx qy qz qw
+        from .io import groundtruth_at, open_frame_source
+
+        if not args.frames:
+            raise SystemExit("evaluate: TUM-format ground truth needs "
+                             "--frames (the TUM sequence dir) to recover "
+                             "keyframe timestamps")
+        src = open_frame_source(args.frames)
+        ts = getattr(src, "timestamps", None)
+        if ts is None:
+            raise SystemExit(f"evaluate: {args.frames} is not a TUM "
+                             "sequence (no timestamps)")
+        iq, gt_t, _ = groundtruth_at(args.gt, ts[np.asarray(est.seq)],
+                                     max_dt=args.gt_max_dt)
+        if len(iq) < 2:
+            raise SystemExit("evaluate: no estimated poses matched a "
+                             "ground-truth timestamp")
+        est_t = est_t[iq]
+    else:                              # framework log: id x y z q... sid
+        gt = read_trajectory(args.gt)
+        n = min(len(est_t), len(gt.t))
+        est_t, gt_t = est_t[:n], gt.t[:n]
+
+    ate, est_aligned = ate_stats(est_t, gt_t, with_scale=args.scale)
+    rp = rpe_stats(est_aligned, gt_t, delta=args.delta)
+    print(f"ATE  rmse {ate['rmse']:.6f} m  mean {ate['mean']:.6f}  "
+          f"median {ate['median']:.6f}  std {ate['std']:.6f}  "
+          f"min {ate['min']:.6f}  max {ate['max']:.6f}  "
+          f"({ate['n']} poses, scale {ate['scale']:.6f})")
+    print(f"RPE({rp['delta']})  rmse {rp['rmse']:.6f} m  "
+          f"mean {rp['mean']:.6f}  median {rp['median']:.6f}  "
+          f"std {rp['std']:.6f}  max {rp['max']:.6f}")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"ate": ate, "rpe": rp}, f, indent=1)
+        print(f"wrote {args.json}")
+    if args.aligned:
+        from .io import write_trajectory_ply
+
+        write_trajectory_ply(args.aligned, est_aligned)
+        print(f"wrote {args.aligned} (aligned estimate)")
+
+
 def _camera(args, preset=None):
     from .config import RS435, SR4000, TUM_FR1, TUM_FR2, TUM_FR3
 
@@ -450,6 +528,9 @@ def cmd_slam(args):
     if args.record:
         slam.save_vro_log(args.record)
         print(f"recorded VRO log: {args.record} ({len(slam.records)} edges)")
+    if args.marginals:
+        _write_pose_marginals(args.marginals, slam.og.graph, slam.og.values,
+                              slam.num_keyframes)
     _report_slam_gt(args, src, t, seqs)
 
 
@@ -676,6 +757,9 @@ def main(argv=None):
     s.add_argument("--backend", choices=["gtsam", "g2o"], default=None,
                    help="fake-odometry weighting: gtsam I*1e4 or g2o "
                         "I*1e-3 (default gtsam, or the preset's)")
+    s.add_argument("--marginals",
+                   help="write per-pose 6x6 marginal covariances "
+                        "(id + 21 upper-tri entries per line)")
     s.add_argument("--gt", help="ground-truth trajectory log for ATE/RPE")
     s.add_argument("--init", choices=["odometry", "chordal"],
                    default="odometry",
@@ -814,6 +898,22 @@ def main(argv=None):
     s.set_defaults(fn=cmd_video)
 
     s = sub.add_parser(
+        "evaluate", help="trajectory evaluation: full ATE/RPE statistics "
+        "vs TUM groundtruth.txt or a trajectory.log")
+    s.add_argument("--est", required=True, help="estimated trajectory.log")
+    s.add_argument("--gt", required=True,
+                   help="TUM groundtruth.txt or framework trajectory.log")
+    s.add_argument("--frames",
+                   help="TUM sequence dir (timestamps for TUM-format gt)")
+    s.add_argument("--delta", type=int, default=1, help="RPE frame delta")
+    s.add_argument("--scale", action="store_true",
+                   help="Sim(3) alignment (estimate scale too)")
+    s.add_argument("--gt-max-dt", type=float, default=0.02)
+    s.add_argument("--json", help="write the stats as JSON")
+    s.add_argument("--aligned", help="write the aligned estimate as PLY")
+    s.set_defaults(fn=cmd_evaluate)
+
+    s = sub.add_parser(
         "slam", help="ONLINE frames-driven SLAM (test_gt_graph role): "
         "feature frontend + keyframing + loop closures + periodic LM")
     s.add_argument("--frames", required=True,
@@ -841,6 +941,9 @@ def main(argv=None):
                    help="place-recognition loop-closure proposals per "
                         "keyframe beyond the lookback window (0 = off)")
     s.add_argument("--record", help="write the accepted edges as a VRO log")
+    s.add_argument("--marginals",
+                   help="write per-pose 6x6 marginal covariances "
+                        "(id + 21 upper-tri entries per line)")
     s.add_argument("--gt", help="TUM groundtruth.txt or trajectory.log "
                                 "for ATE/RPE")
     s.add_argument("--gt-max-dt", type=float, default=0.02)

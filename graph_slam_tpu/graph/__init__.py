@@ -5,6 +5,8 @@ from .banded import band_halfwidth, banded_gn_optimize
 from .gnc import GncResult, gnc_optimize
 from .init import chordal_initialize, project_so3
 from .lm import LMParams, LMResult, lm_optimize, gn_optimize
+from .marginals import (joint_marginal, plane_marginal, pose_marginal,
+                        pose_marginals_all)
 from .online import IncrementalOptimizer, OnlineGraph
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "chordal_initialize", "project_so3",
     "GncResult", "gnc_optimize",
     "IncrementalOptimizer", "OnlineGraph",
+    "pose_marginal", "plane_marginal", "joint_marginal",
+    "pose_marginals_all",
 ]

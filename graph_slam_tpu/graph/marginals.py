@@ -22,7 +22,7 @@ from .factors import FactorGraph
 from .variables import VariableArena, layout_of
 
 __all__ = ["marginal_covariance_cols", "pose_marginal", "plane_marginal",
-           "joint_marginal"]
+           "joint_marginal", "pose_marginals_all"]
 
 
 def _cov_columns(H, cols):
@@ -61,3 +61,21 @@ def plane_marginal(graph: FactorGraph, values: VariableArena, idx: int):
 def joint_marginal(graph: FactorGraph, values: VariableArena, cols):
     """Joint marginal over an arbitrary tangent slot selection."""
     return marginal_covariance_cols(graph, values, jnp.asarray(cols))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def pose_marginals_all(graph: FactorGraph, values: VariableArena, n: int):
+    """(n, 6, 6) marginal covariances of poses 0..n-1 in ONE factorization.
+
+    The per-pose ``Marginals.marginalCovariance`` loop of the reference
+    costs a refactorization per query; here one Cholesky is reused across
+    all 6n unit-column solves (one (D, 6n) triangular-solve batch — an MXU
+    matmul shape), then the diagonal 6x6 blocks are gathered.
+    """
+    lay = layout_of(values)
+    H, _ = assemble_dense(graph, values)
+    cols = lay.pose_off + jnp.arange(n * 6)
+    X = _cov_columns(H, cols)             # (D, 6n)
+    B = X[cols, :]                        # (6n, 6n) joint pose covariance
+    idx = jnp.arange(n)
+    return B.reshape(n, 6, n, 6)[idx, :, idx, :]

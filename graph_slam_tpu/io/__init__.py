@@ -13,6 +13,8 @@ from .trajectory import (
     write_trajectory,
     write_trajectory_ply,
     write_graph_summary,
+    write_marginals,
+    read_marginals,
 )
 
 __all__ = [
@@ -23,4 +25,5 @@ __all__ = [
     "read_tum_groundtruth",
     "Trajectory", "read_trajectory", "write_trajectory", "write_ply_points",
     "write_trajectory_ply", "write_g2o", "read_g2o", "write_graph_summary",
+    "write_marginals", "read_marginals",
 ]

@@ -153,6 +153,34 @@ def read_g2o(path: str):
     return vertices, edges
 
 
+def write_marginals(path: str, ids, covs) -> None:
+    """Per-pose marginal covariances: ``id`` + the 21 upper-triangular
+    entries of the 6x6 covariance per line (the same upper-tri packing as
+    the VRO log's information rows, gtsam_graph.cpp:1574-1590)."""
+    covs = np.asarray(covs)
+    iu = np.triu_indices(6)
+    with open(path, "w") as f:
+        for k in range(len(ids)):
+            vals = " ".join(repr(float(x)) for x in covs[k][iu])
+            f.write(f"{int(ids[k])} {vals}\n")
+
+
+def read_marginals(path: str):
+    """Inverse of ``write_marginals`` -> (ids (N,), covs (N, 6, 6))."""
+    ids, covs = [], []
+    iu = np.triu_indices(6)
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) < 22:
+                continue
+            ids.append(int(float(tok[0])))
+            C = np.zeros((6, 6))
+            C[iu] = [float(x) for x in tok[1:22]]
+            covs.append(C + C.T - np.diag(np.diag(C)))
+    return np.asarray(ids), np.asarray(covs)
+
+
 def write_graph_summary(path: str, graph, values) -> None:
     """Human-readable factor-graph dump (``CGraphGT::writeGTSAM`` role,
     gtsam_graph.cpp:160-171): per-table active counts and rows."""

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["align_umeyama", "ate_rmse", "rpe"]
+__all__ = ["align_umeyama", "ate_rmse", "rpe", "ate_stats", "rpe_stats"]
 
 
 def align_umeyama(est: np.ndarray, gt: np.ndarray, with_scale: bool = False):
@@ -47,6 +47,53 @@ def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True,
         est_t = (s * (R @ est_t.T)).T + t
     d = est_t - gt_t
     return float(np.sqrt((d * d).sum(axis=1).mean()))
+
+
+def _error_stats(errors: np.ndarray) -> dict:
+    """Benchmark-style summary of per-pose translational errors (the TUM
+    evaluate_ate.py / evaluate_rpe.py report fields)."""
+    e = np.asarray(errors, float)
+    return {
+        "rmse": float(np.sqrt((e * e).mean())),
+        "mean": float(e.mean()),
+        "median": float(np.median(e)),
+        "std": float(e.std()),
+        "min": float(e.min()),
+        "max": float(e.max()),
+        "n": int(len(e)),
+    }
+
+
+def ate_stats(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True,
+              with_scale: bool = False):
+    """Full absolute-trajectory-error report.
+
+    Returns ``(stats_dict, est_aligned (N, 3))`` where stats has
+    rmse/mean/median/std/min/max/n of the per-pose position errors after
+    the (optional) closed-form alignment, plus the applied scale.
+    """
+    est_t = np.asarray(est_t, float)
+    gt_t = np.asarray(gt_t, float)
+    s = 1.0
+    if align:
+        R, t, s = align_umeyama(est_t, gt_t, with_scale)
+        est_t = (s * (R @ est_t.T)).T + t
+    d = np.linalg.norm(est_t - gt_t, axis=1)
+    stats = _error_stats(d)
+    stats["scale"] = float(s)
+    return stats, est_t
+
+
+def rpe_stats(est_t: np.ndarray, gt_t: np.ndarray, delta: int = 1) -> dict:
+    """Full relative-pose-error (drift) report over a fixed frame delta."""
+    est_t = np.asarray(est_t, float)
+    gt_t = np.asarray(gt_t, float)
+    de = est_t[delta:] - est_t[:-delta]
+    dg = gt_t[delta:] - gt_t[:-delta]
+    d = np.linalg.norm(de - dg, axis=1)
+    stats = _error_stats(d)
+    stats["delta"] = int(delta)
+    return stats
 
 
 def rpe(est_t: np.ndarray, gt_t: np.ndarray, delta: int = 1) -> float:

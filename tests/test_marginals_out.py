@@ -1,0 +1,37 @@
+"""Pose-marginal output tier: batched pose_marginals_all vs the per-pose
+query, and the marginals log round trip (the reference's
+Marginals(CHOLESKY) covariance outputs, gtsam_graph.cpp:598-601)."""
+
+import numpy as np
+
+from graph_slam_tpu.datasets import make_sphere_graph
+from graph_slam_tpu.graph import pose_marginal, pose_marginals_all
+from graph_slam_tpu.io import read_marginals, write_marginals
+
+
+def test_batched_matches_per_pose_queries():
+    graph, values, _ = make_sphere_graph(n_poses=12, edges_per_pose=3.0,
+                                         seed=0, bucket=8)
+    n = 12
+    covs = np.asarray(pose_marginals_all(graph, values, n))
+    assert covs.shape == (n, 6, 6)
+    for idx in (0, 3, 11):
+        single = np.asarray(pose_marginal(graph, values, idx))
+        np.testing.assert_allclose(covs[idx], single, rtol=1e-5, atol=1e-8)
+    # covariances are symmetric PSD, and the anchored pose is tightest
+    for k in range(n):
+        np.testing.assert_allclose(covs[k], covs[k].T, atol=1e-7)
+        assert np.linalg.eigvalsh(covs[k]).min() > -1e-8
+    assert np.trace(covs[0]) < np.trace(covs[6])
+
+
+def test_marginals_log_round_trip(tmp_path):
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(4, 6, 6))
+    covs = A @ np.transpose(A, (0, 2, 1))
+    ids = np.array([0, 1, 2, 5])
+    path = str(tmp_path / "marginals.log")
+    write_marginals(path, ids, covs)
+    ids2, covs2 = read_marginals(path)
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_allclose(covs, covs2, rtol=0, atol=1e-12)

@@ -50,9 +50,11 @@ def tum_scene(tmp_path_factory):
 def test_slam_cli_tum_end_to_end(tum_scene, tmp_path):
     out_dir = tmp_path / "out"
     rec = tmp_path / "recorded_vro.log"
+    marg = tmp_path / "marginals.log"
     stdout = run_cli(
         "slam", "--frames", str(tum_scene), "--camera", "sr4000",
         "--out-dir", str(out_dir), "--record", str(rec),
+        "--marginals", str(marg),
         "--gt", str(tum_scene / "groundtruth.txt"),
         "--n-hyp", "512", "--min-inliers", "10")
     assert "final chi2:" in stdout
@@ -64,6 +66,12 @@ def test_slam_cli_tum_end_to_end(tum_scene, tmp_path):
     assert len(traj.t) == len(XS)          # every 0.12 m step keyframed
     for k, x in enumerate(XS):
         assert abs(traj.t[k, 0] - x) < 0.04, (k, traj.t[k], x)
+
+    # pose marginals: one per keyframe, anchored node tightest
+    from graph_slam_tpu.io import read_marginals
+    mids, mcovs = read_marginals(str(marg))
+    assert len(mids) == len(XS)
+    assert np.trace(mcovs[0]) < np.trace(mcovs[-1])
 
     # the recorded VRO log replays through the offline pipeline
     assert os.path.exists(rec)
