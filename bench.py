@@ -301,15 +301,20 @@ def bench_vio_planes(n_frames: int = 200, fail_every: int = 20,
     The host-stepped online engine — which runs the whole per-frame plane
     path the round-2 code was limited to — is measured on a prefix of the
     same workload for the speedup ratio.
+
+    Also reports ``ate_rmse_m``: ATE RMSE of the estimate against the
+    scenario's exact ground-truth trajectory (BASELINE.md's accuracy
+    target), with the ground-truth path length for scale.
     """
     from graph_slam_tpu.datasets import make_vio_plane_scenario
     from graph_slam_tpu.imu import ImuStream
     from graph_slam_tpu.io.vro_log import VROLog
     from graph_slam_tpu.pipelines.vio import VioConfig, run_vio
 
-    log, times, stream, params, frames, K = make_vio_plane_scenario(
-        n_frames=n_frames, fail_every=fail_every,
-        render="lazy" if lazy else True)
+    log, times, stream, params, frames, K, (gt_R, gt_t) = \
+        make_vio_plane_scenario(n_frames=n_frames, fail_every=fail_every,
+                                render="lazy" if lazy else True,
+                                return_gt=True)
     frames_fn = frames.get if isinstance(frames, dict) else frames
 
     def clone():
@@ -343,6 +348,16 @@ def bench_vio_planes(n_frames: int = 200, fail_every: int = 20,
                      intrinsics=K, cfg=cfg_on)
     online_fps = n_sub / (time.perf_counter() - t0)
 
+    # accuracy vs the scenario's exact ground truth (BASELINE.md target:
+    # "ATE RMSE parity") — host-side NumPy on the already-read estimate,
+    # computed AFTER every timed section
+    from graph_slam_tpu.pipelines import trajectory_arrays
+    from graph_slam_tpu.utils.metrics import ate_rmse
+
+    _, est_t, _, seqs = trajectory_arrays(res.values, res.seq_ids)
+    ate = ate_rmse(est_t, gt_t[np.asarray(seqs, int)])
+    path_len = float(np.linalg.norm(np.diff(gt_t, axis=0), axis=1).sum())
+
     fps = n_frames / warm
     return {"metric": "plane-rescue VIO frames/sec (fused scan engine: "
                       "scan segments between host-known failures + "
@@ -352,6 +367,8 @@ def bench_vio_planes(n_frames: int = 200, fail_every: int = 20,
             "n_rescue_frames": int(n_rescue),
             "n_plane_factors": int(res.n_plane_factors),
             "chi2": res.error,
+            "ate_rmse_m": round(float(ate), 5),
+            "gt_path_length_m": round(path_len, 3),
             "phase_timers": res.timers,
             "host_stepped_online_fps": round(online_fps, 2),
             "speedup_vs_host_stepped": round(fps / online_fps, 1)}

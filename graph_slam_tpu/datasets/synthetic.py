@@ -205,7 +205,7 @@ def _render_plane_frame(K, R_cam, t_cam, scene, noise=0.0, seed=0):
 def make_vio_plane_scenario(n_frames: int = 200, per: int = 20,
                             fail_every: int = 20, seed: int = 0,
                             motion: float = 0.08, noise: float = 0.002,
-                            render: bool = True):
+                            render: bool = True, return_gt: bool = False):
     """Plane-aided VIO benchmark workload: IMU stream + VRO log with
     periodic tracking failures + rendered SR4000 frames of a two-plane
     room (wall z=4, floor y=0.8 — the rescue propagates/extracts these).
@@ -218,7 +218,9 @@ def make_vio_plane_scenario(n_frames: int = 200, per: int = 20,
 
     Returns ``(log, times, stream, imu_params, frames, K)`` where
     ``frames`` is a ``seq -> (intensity, depth)`` dict (None when
-    ``render=False``).
+    ``render=False``). With ``return_gt=True`` the exact per-frame
+    ground-truth poses ``(Rs (N,3,3), ts (N,3))`` are appended — the
+    workload's ATE reference (BASELINE.md accuracy target).
     """
     import jax
 
@@ -340,4 +342,6 @@ def make_vio_plane_scenario(n_frames: int = 200, per: int = 20,
     log = VROLog(np.asarray(id_to), np.asarray(id_from), np.stack(xis),
                  np.stack(infos))
     times = {f: f * per * dt for f in range(n_frames)}
+    if return_gt:
+        return log, times, stream, params, frames, K, (Rs, ts)
     return log, times, stream, params, frames, K

@@ -58,6 +58,10 @@ def test_vio_planes_path():
     assert out["n_plane_factors"] > 0
     assert np.isfinite(out["chi2"])
     assert out["host_stepped_online_fps"] > 0
+    # accuracy artifact: ATE against the scenario's exact ground truth
+    # must be small relative to the trajectory scale (drift-bounded VIO)
+    assert out["gt_path_length_m"] > 0
+    assert out["ate_rmse_m"] < 0.2 * max(out["gt_path_length_m"], 0.1)
 
 
 def test_ba_schur_path(monkeypatch):
