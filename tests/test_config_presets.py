@@ -15,6 +15,8 @@ from graph_slam_tpu.config import (
 )
 from graph_slam_tpu.pipelines.vio import VioConfig
 
+pytestmark = pytest.mark.fast
+
 
 EXPECTED = {
     "g2o_go", "gtsam_go", "gtsam_imuMEMS_go", "gtsam_imuVN100_go",

@@ -8,6 +8,9 @@ import numpy as np
 from test_cli import run_cli
 from graph_slam_tpu.io import write_trajectory
 from graph_slam_tpu.utils.metrics import ate_stats, rpe_stats
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def _quat_identity(n):

@@ -23,6 +23,9 @@ from graph_slam_tpu.pipelines import (
     run_pose_graph,
     trajectory_arrays,
 )
+import pytest
+
+pytestmark = pytest.mark.fast
 
 HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
 PINS = json.load(open(os.path.join(HERE, "chi2.json")))

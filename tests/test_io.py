@@ -14,6 +14,9 @@ from graph_slam_tpu.io import (
     write_trajectory,
     write_vro_log,
 )
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def _random_log(n=20, seed=0):

@@ -13,6 +13,9 @@ import np_lie
 from graph_slam_tpu.core import se3, so3
 from graph_slam_tpu.graph import factors as F
 from graph_slam_tpu.graph import GraphBuilder
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_se3_right_jacobian_inverse_vs_numeric():

@@ -11,6 +11,8 @@ import pytest
 
 from graph_slam_tpu.core import se3, so3
 
+pytestmark = pytest.mark.fast
+
 
 def rng(seed=0):
     return np.random.default_rng(seed)

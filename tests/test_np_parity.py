@@ -24,6 +24,9 @@ from graph_slam_tpu.core import se3
 from graph_slam_tpu.graph import GraphBuilder, LMParams, lm_optimize, total_error
 from graph_slam_tpu.imu import init_preint, integrate_segment, vn100_params
 from graph_slam_tpu.io import read_vro_log
+import pytest
+
+pytestmark = pytest.mark.fast
 
 HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
 

@@ -19,6 +19,8 @@ from graph_slam_tpu.graph import (
     total_error,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def make_circle_graph(n=12, noise=0.0, init_noise=0.05, seed=0, loop=True):
     """Poses on a circle with odometry edges (+ loop closure)."""
