@@ -731,6 +731,18 @@ def _emit(payload):
 def main():
     from graph_slam_tpu.graph import gn_optimize, total_error
 
+    # BOOTSTRAP LINE at t~0: even a driver timeout shorter than one tunnel
+    # compile (or a backend-init hang) leaves a parseable artifact saying
+    # exactly how far the run got. Every later emit supersedes it as the
+    # driver's "last parseable line".
+    _emit({
+        "metric": f"GN iterations/sec on sphere{N_POSES} SE(3) pose "
+                  f"graph (PCG-{PCG_ITERS} solver)",
+        "value": 0.0, "unit": "GN iters/sec", "vs_baseline": 0.0,
+        "extra": {"status": "bootstrap — headline measurement in progress; "
+                            "a 0.0 here means the driver timed out before "
+                            "one tunnel compile finished"}})
+
     if not _backend_alive():
         _emit({
             "metric": f"GN iterations/sec on sphere{N_POSES} SE(3) pose "
