@@ -444,9 +444,29 @@ def cmd_map(args):
 
     traj = read_trajectory(args.traj)
     store = open_frame_source(args.frames)
+    if getattr(args, "roi", None):
+        # ROI limits which pixels are backprojected (the per-pixel loop
+        # bounds of mapping_PCD.cpp): zero the depth outside it so the
+        # intrinsics stay valid (slicing would shift cx/cy)
+        try:
+            u0, v0, u1, v1 = (int(x) for x in args.roi.split(","))
+        except ValueError:
+            raise SystemExit("map: --roi must be U0,V0,U1,V1")
+        inner = store
+
+        def store(seq, _s=inner):
+            got = _s(seq)
+            if got is None:
+                return None
+            inten, depth = got
+            m = np.zeros_like(np.asarray(depth))
+            m[v0:v1, u0:u1] = 1.0
+            return inten, np.asarray(depth) * m
+
     u2c = extrinsics.camera_to_imu(args.pitch) if args.imu_frame else None
     pts, cols = accumulate_cloud(traj, store, _camera(args), u2c=u2c,
-                                 stride=args.stride, skip=args.skip)
+                                 stride=args.stride, skip=args.skip,
+                                 z_max=args.z_max)
     if args.voxel:
         pts, cols = voxel_filter(pts, cols, voxel=args.voxel)
     if args.out.endswith(".ply"):
@@ -615,6 +635,20 @@ def cmd_plane_check(args):
     from .planes import extract_plane_node
 
     log = read_vro_log(args.vro)
+    if getattr(args, "pair", None):
+        # single-edge scoring (test_plane_dis.cpp role: one from:to pair
+        # under the log's VO covariance, plane_dis_two_frames.launch)
+        try:
+            lo, hi = (int(x) for x in args.pair.split(":"))
+        except ValueError:
+            raise SystemExit("plane-check: --pair must be FROM:TO")
+        sel = (log.id_from == lo) & (log.id_to == hi)
+        if not sel.any():
+            raise SystemExit(f"plane-check: no edge {lo}->{hi} in {args.vro}")
+        from .io import VROLog
+
+        log = VROLog(log.id_to[sel], log.id_from[sel], log.xi[sel],
+                     log.info[sel])
     store = open_frame_source(args.frames)
     K = _camera(args)
     cache = {}
@@ -628,7 +662,8 @@ def cmd_plane_check(args):
             else:
                 keyring[0], k = jax.random.split(keyring[0])
                 det = extract_plane_node(k, K, fr[0], fr[1],
-                                         max_planes=args.max_planes)
+                                         max_planes=args.max_planes,
+                                         min_support=args.min_support)
                 cache[seq] = ([], []) if det is None else \
                     (list(det.params), list(det.cov))
         return cache[seq]
@@ -636,8 +671,200 @@ def cmd_plane_check(args):
     rows = check_vo_edges(log, planes_of, out_path=args.out)
     bad = sum(1 for r in rows if r[2] > 0 and r[3] > args.thresh)
     print(f"scored {len(rows)} edges, {bad} above Mahalanobis {args.thresh}")
+    for r in rows if getattr(args, "pair", None) else []:
+        print(f"edge {int(r[1])}->{int(r[0])}: matched_planes={int(r[2])} "
+              f"err={r[3]:.4f} err_raw={r[4]:.4f}")
     if args.out:
         print(f"wrote {args.out}")
+
+
+def cmd_match(args):
+    """Two-frame transform + covariance harness.
+
+    The test_match_two_frames.cpp (SVD 3D-3D RANSAC) / test_match_PnP.cpp
+    (--method pnp) executables; launch twins match_two_frames.launch and
+    match_two_frames_pnp.launch. Prints the estimated T (xi + matrix), the
+    6x6 information, and inlier count; --out-ply writes the registration
+    overlay the view_registration tier renders.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .core import se3
+    from .io import open_frame_source
+    from .vision.features import extract_features
+    from .vision.frontend import match_node_pair
+    from .vision.matching import (
+        match_descriptors,
+        pnp_ransac,
+        vo_information,
+    )
+
+    store = open_frame_source(args.frames)
+    K = _camera(args)
+    got_src, got_tar = store(args.src), store(args.tar)
+    if got_src is None or got_tar is None:
+        missing = args.src if got_src is None else args.tar
+        raise SystemExit(f"match: no frame {missing} under {args.frames}")
+    f_src = extract_features(K, got_src[0], got_src[1],
+                             max_features=args.max_features)
+    f_tar = extract_features(K, got_tar[0], got_tar[1],
+                             max_features=args.max_features)
+    key = jax.random.PRNGKey(args.seed)
+    if args.method == "svd":
+        mr = match_node_pair(key, f_tar, f_src, args.tar, args.src,
+                             n_hyp=args.n_hyp)
+        R, t = jnp.asarray(mr.T[0]), jnp.asarray(mr.T[1])
+        info, n_inl, ok = mr.information, mr.num_inliers, mr.succeed
+    else:
+        # PnP: 3D points of the tar (old) frame vs pixels in src (new)
+        from .vision.cal3ds2 import Cal3DS2
+
+        idx, m_ok = match_descriptors(f_src.desc, f_tar.desc)
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        pts_i = f_tar.pts3[idx].astype(dt)
+        valid = m_ok & f_src.valid & f_tar.valid[idx]
+        # pinhole, no distortion: the feature 3D lift (vision.camera.
+        # backproject) is pinhole, so the PnP projection model must match
+        # or the recovered pose is biased
+        cal = Cal3DS2.make(K.fx, K.fy, K.cx, K.cy, dtype=dt)
+        R, t, inl, ok = pnp_ransac(key, pts_i, f_src.uv.astype(dt), valid,
+                                   cal, n_hyp=args.n_hyp)
+        info = vo_information(R, t, inl, pts_i)
+        n_inl, ok = int(inl.sum()), bool(ok)
+    if not ok:
+        print(f"match FAILED ({args.method}, {n_inl} inliers)")
+        return 1
+    T = se3.Pose(R, t)
+    xi = np.asarray(se3.logmap(T))
+    print(f"match OK ({args.method}): {n_inl} inliers")
+    print("xi (rot-first se3 log):", " ".join(f"{x:.6f}" for x in xi))
+    print("t:", " ".join(f"{x:.6f}" for x in np.asarray(t)))
+    print("info diag:", " ".join(f"{x:.3f}"
+                                 for x in np.diag(np.asarray(info))))
+    if getattr(args, "out_ply", None):
+        from .mapping.viewers import write_registration_ply
+
+        n = write_registration_ply(args.out_ply, K, got_tar, got_src, T)
+        print(f"wrote {args.out_ply} ({n} points)")
+    return 0
+
+
+def cmd_view(args):
+    """Headless viewer tier.
+
+    Stands in for the reference's VTK/Qt visualizers
+    (view_registration_vo/list/range.launch -> registration-overlay PLYs;
+    view_planes.launch -> plane-mask PNG montage). Artifacts land in
+    --out-dir instead of a window.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .core import se3
+    from .io import FAILED_INFO_SENTINEL, open_frame_source
+    from .mapping.viewers import write_image_grid, write_registration_ply
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    store = open_frame_source(args.frames)
+    K = _camera(args)
+
+    if args.mode == "planes":
+        from .planes import extract_plane_node
+
+        fr = store(args.frame_id)
+        if fr is None:
+            raise SystemExit(f"view: no frame {args.frame_id}")
+        det = extract_plane_node(jax.random.PRNGKey(0), K, fr[0], fr[1],
+                                 max_planes=args.max_planes,
+                                 min_support=args.min_support)
+        if det is None:
+            raise SystemExit("view: no plane reached --min-support")
+        inten = np.asarray(fr[0])
+        imgs = [inten] + [np.where(m, inten, 0.0) for m in det.masks]
+        out = os.path.join(args.out_dir, f"planes_{args.frame_id}.png")
+        write_image_grid(out, imgs)
+        print(f"{len(det)} planes; wrote {out}")
+        return 0
+
+    from .io import read_vro_log
+
+    if not args.vro:
+        raise SystemExit(f"view: --vro is required for mode {args.mode}")
+    log = read_vro_log(args.vro)
+    if args.mode == "pair":
+        pairs = [(args.from_id, args.to_id)]
+    elif args.mode == "range":
+        sel = (log.id_from >= args.start) & (log.id_to <= args.end)
+        pairs = list(zip(log.id_from[sel].tolist(),
+                         log.id_to[sel].tolist()))
+    else:  # list: 'id2 id1 num ...' rows filtered by match count
+        if not args.list:
+            raise SystemExit("view: --list is required for mode list")
+        rows = np.atleast_2d(np.loadtxt(args.list))
+        keep = (rows[:, 2] >= args.min_num) & (rows[:, 2] <= args.max_num)
+        pairs = [(int(r[1]), int(r[0])) for r in rows[keep]]
+
+    emap = {(int(f), int(t)): k for k, (f, t)
+            in enumerate(zip(log.id_from, log.id_to))}
+    written = 0
+    for f_id, t_id in pairs:
+        k = emap.get((f_id, t_id))
+        if k is None:
+            print(f"  {f_id}->{t_id}: not in {args.vro}, skipped")
+            continue
+        if log.info[k][0, 0] == FAILED_INFO_SENTINEL:
+            print(f"  {f_id}->{t_id}: failed edge (sentinel), skipped")
+            continue
+        fi, fj = store(f_id), store(t_id)
+        if fi is None or fj is None:
+            print(f"  {f_id}->{t_id}: frame missing, skipped")
+            continue
+        T = se3.expmap(jnp.asarray(log.xi[k]))
+        out = os.path.join(args.out_dir, f"reg_{f_id}_{t_id}.ply")
+        n = write_registration_ply(out, K, fi, fj, T)
+        print(f"  {f_id}->{t_id}: wrote {out} ({n} points)")
+        written += 1
+    print(f"wrote {written}/{len(pairs)} registration overlays")
+    return 0 if written else 1
+
+
+def cmd_imu_preview(args):
+    """IMU dead-reckoning preview (the launch/display tier).
+
+    imu_camera_play.launch runs test_imu_MEMS + a gyro display;
+    imu_camera_vn100.launch runs test_vn100. Headless equivalent:
+    integrate the gyro stream to Euler angles (CGyroEuler role,
+    gyro_euler.cpp:85-114) and write an 'idx t roll pitch yaw' log —
+    against the VN100's logged RPY columns when available.
+    """
+    from .imu import read_mems_log, read_vn100_log
+    from .imu.euler import gyro_bias_from_static, integrate_euler
+
+    if args.imu_type == "vn100":
+        stream = read_vn100_log(args.imu)
+    else:
+        stream = read_mems_log(args.imu)
+    gyr = np.asarray(stream.gyr)
+    dts = np.diff(np.asarray(stream.t),
+                  prepend=np.asarray(stream.t)[0]).clip(min=1e-6)
+    n_static = min(args.static_samples, len(gyr))
+    bias = gyro_bias_from_static(gyr, n_static) if n_static > 0 else None
+    rpy = np.asarray(integrate_euler(gyr, dts, bias=bias))
+    deg = np.degrees(rpy)
+    meas = getattr(stream, "rpy", None)
+    with open(args.out, "w") as f:
+        for k in range(len(deg)):
+            row = f"{k} {stream.t[k]:.6f} " + \
+                  " ".join(f"{x:.4f}" for x in deg[k])
+            if meas is not None:
+                row += " " + " ".join(f"{x:.4f}" for x in meas[k])
+            f.write(row + "\n")
+    drift = np.abs(deg[-1] - deg[0])
+    print(f"{len(deg)} samples over {stream.t[-1] - stream.t[0]:.1f} s; "
+          f"end-to-end drift r/p/y = "
+          f"{drift[0]:.2f}/{drift[1]:.2f}/{drift[2]:.2f} deg")
+    print(f"wrote {args.out}")
 
 
 def cmd_convert_frames(args):
@@ -739,7 +966,52 @@ def cmd_presets(args):
         print(f"{name:28s} {desc}")
 
 
-def main(argv=None):
+def _apply_preset_args(subparsers, argv):
+    """Apply a preset's "args" section as flag defaults for its subcommand.
+
+    Launch-file ``<param>`` tags ship as the preset's ``args`` dict
+    (config.py reserved keys). Every key must name a real flag of the
+    invoked subcommand — presets can't silently rot — and a preset's
+    ``tool`` key pins which subcommand it parameterizes. Explicit CLI
+    flags still override (argparse defaults lose to given flags).
+    """
+    cmd = next((a for a in argv if not a.startswith("-")), None)
+    sp = subparsers.get(cmd) if cmd else None
+    if sp is None:
+        return
+    cfg = None
+    for k, a in enumerate(argv):
+        if a == "--config" and k + 1 < len(argv):
+            cfg = argv[k + 1]
+        elif a.startswith("--config="):
+            cfg = a.split("=", 1)[1]
+    if not cfg:
+        return
+    from .config import load_config_dict
+
+    preset = load_config_dict(cfg)
+    tool = preset.get("tool")
+    if tool and tool != cmd:
+        raise SystemExit(
+            f"config {cfg!r} parameterizes subcommand '{tool}', not "
+            f"'{cmd}' (run: python -m graph_slam_tpu {tool} --config {cfg})")
+    overrides = preset.get("args", {})
+    by_dest = {a.dest: a for a in sp._actions}
+    defaults = {}
+    for key, val in overrides.items():
+        dest = key.replace("-", "_")
+        if dest not in by_dest:
+            raise SystemExit(f"config {cfg!r}: its args section names "
+                             f"{key!r}, which is not a flag of '{cmd}'")
+        defaults[dest] = val
+        by_dest[dest].required = False   # a preset default satisfies it
+    if defaults:
+        sp.set_defaults(**defaults)
+
+
+def build_parser():
+    """The full CLI parser + its subparser registry (tests validate preset
+    args sections against the real flags through this)."""
     p = argparse.ArgumentParser(prog="graph_slam_tpu",
                                 description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -883,6 +1155,13 @@ def main(argv=None):
     s.add_argument("--stride", type=int, default=7)
     s.add_argument("--skip", type=int, default=2)
     s.add_argument("--voxel", type=float, default=0.0)
+    s.add_argument("--roi", metavar="U0,V0,U1,V1",
+                   help="pixel region of interest (top_left_u/v, "
+                        "bot_right_u/v of mapping_PCD.launch); pixels "
+                        "outside are dropped, geometry unchanged")
+    s.add_argument("--z-max", type=float, default=10.0,
+                   help="depth passthrough ceiling in meters "
+                        "(z_pass_through of mapping_PCD_rs.launch)")
     s.add_argument("--pitch", type=float, default=0.0)
     s.add_argument("--imu-frame", action="store_true")
     s.set_defaults(fn=cmd_map)
@@ -965,9 +1244,63 @@ def main(argv=None):
     s.add_argument("--frames", required=True)
     s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default="sr4000")
     s.add_argument("--max-planes", type=int, default=4)
+    s.add_argument("--min-support", type=int, default=300,
+                   help="min inlier pixels per plane "
+                        "(min_num_pts_of_plane)")
     s.add_argument("--thresh", type=float, default=100.0)
+    s.add_argument("--pair", metavar="FROM:TO",
+                   help="score only this edge (test_plane_dis role, "
+                        "plane_dis_two_frames.launch)")
     s.add_argument("--out")
     s.set_defaults(fn=cmd_plane_check)
+
+    s = sub.add_parser("match",
+                       help="two-frame transform + covariance harness "
+                            "(test_match_two_frames / test_match_PnP)")
+    s.add_argument("--frames", required=True)
+    s.add_argument("--src", type=int, required=True,
+                   help="new-frame seq id (src_filename role)")
+    s.add_argument("--tar", type=int, required=True,
+                   help="base-frame seq id (tar_filename role)")
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default="sr4000")
+    s.add_argument("--method", choices=["svd", "pnp"], default="svd")
+    s.add_argument("--max-features", type=int, default=256)
+    s.add_argument("--n-hyp", type=int, default=2048)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--out-ply", help="registration-overlay PLY")
+    s.set_defaults(fn=cmd_match)
+
+    s = sub.add_parser("view",
+                       help="headless viewer artifacts: registration "
+                            "overlays + plane montages")
+    s.add_argument("--mode", choices=["pair", "list", "range", "planes"],
+                   required=True)
+    s.add_argument("--frames", required=True)
+    s.add_argument("--vro", help="VRO log (pair/list/range modes)")
+    s.add_argument("--from-id", type=int, help="pair mode: base frame")
+    s.add_argument("--to-id", type=int, help="pair mode: observed frame")
+    s.add_argument("--start", type=int, default=0, help="range mode")
+    s.add_argument("--end", type=int, default=1 << 30, help="range mode")
+    s.add_argument("--list", help="'id2 id1 num' rows (list mode)")
+    s.add_argument("--min-num", type=float, default=1)
+    s.add_argument("--max-num", type=float, default=float("inf"))
+    s.add_argument("--frame-id", type=int, help="planes mode")
+    s.add_argument("--max-planes", type=int, default=4)
+    s.add_argument("--min-support", type=int, default=300)
+    s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default="sr4000")
+    s.add_argument("--out-dir", default="views")
+    s.set_defaults(fn=cmd_view)
+
+    s = sub.add_parser("imu-preview",
+                       help="gyro dead-reckoning preview "
+                            "(launch/display tier)")
+    s.add_argument("--imu", required=True)
+    s.add_argument("--imu-type", choices=["vn100", "mems"],
+                   default="vn100")
+    s.add_argument("--static-samples", type=int, default=100,
+                   help="pre-sync samples for gyro bias estimation")
+    s.add_argument("--out", default="rpy.log")
+    s.set_defaults(fn=cmd_imu_preview)
 
     s = sub.add_parser("convert-frames",
                        help="SR4000 .bdat dataset -> .gsf frame directory")
@@ -1048,6 +1381,22 @@ def main(argv=None):
     s = sub.add_parser("presets",
                        help="list shipped launch-file-equivalent presets")
     s.set_defaults(fn=cmd_presets)
+
+    # every subcommand accepts --config (a shipped launch-twin preset name
+    # or a JSON path); a preset's "args" section becomes flag defaults
+    for name, sp in sub.choices.items():
+        if not any(a.dest == "config" for a in sp._actions):
+            sp.add_argument("--config",
+                            help="JSON preset (configs/*.json name or "
+                                 "path); its 'args' section sets flag "
+                                 "defaults for this subcommand")
+    return p, sub
+
+
+def main(argv=None):
+    p, sub = build_parser()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    _apply_preset_args(sub.choices, argv)
 
     args = p.parse_args(argv)
     import jax

@@ -105,8 +105,12 @@ TUM_FR3 = CameraIntrinsics(fx=535.4, fy=539.2, cx=320.1, cy=247.6,
 #   backend               — "gtsam" | "g2o" fake-odo weighting
 #   imu_type              — "vn100" | "mems"
 #   vio                   — pipelines.vio.VioConfig field overrides
+#   tool                  — the CLI subcommand this preset parameterizes
+#   args                  — CLI-flag defaults for that subcommand (the
+#                           launch file's <param> tags; cli.main applies
+#                           them as parser defaults, flags still win)
 _RESERVED_KEYS = ("description", "source", "camera", "extrinsic", "backend",
-                  "imu_type", "vio")
+                  "imu_type", "vio", "tool", "args")
 _CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "configs")
 

@@ -112,6 +112,98 @@ class TestCliEndToEnd:
         assert "scored 4 edges" in stdout
         assert os.path.exists(out)
 
+    def test_plane_check_single_pair(self, scenario):
+        """test_plane_dis role (plane_dis_two_frames.launch): one edge
+        scored under the log's VO covariance."""
+        root, frames_dir, vro_path, xs = scenario
+        stdout = run_cli("plane-check", "--vro", vro_path,
+                         "--frames", frames_dir, "--pair", "0:1",
+                         "--min-support", "200")
+        assert "scored 1 edges" in stdout
+        assert "edge 0->1:" in stdout
+
+    def test_match_two_frames_svd_and_pnp(self, scenario):
+        """test_match_two_frames / test_match_PnP roles: both methods must
+        recover the scenario's pure +x translation."""
+        root, frames_dir, vro_path, xs = scenario
+        for method in ("svd", "pnp"):
+            stdout = run_cli("match", "--frames", frames_dir,
+                             "--src", "1", "--tar", "0",
+                             "--method", method)
+            assert "match OK" in stdout, method
+            t_line = next(l for l in stdout.splitlines()
+                          if l.startswith("t:"))
+            t = np.array([float(x) for x in t_line.split()[1:]])
+            np.testing.assert_allclose(t, [xs[1] - xs[0], 0.0, 0.0],
+                                       atol=5e-3, err_msg=method)
+
+    def test_view_modes(self, scenario):
+        """Headless viewer tier (view_registration_vo/list/range.launch,
+        view_planes.launch)."""
+        root, frames_dir, vro_path, xs = scenario
+        views = str(root / "views")
+        out = run_cli("view", "--mode", "pair", "--frames", frames_dir,
+                      "--vro", vro_path, "--from-id", "0", "--to-id", "1",
+                      "--out-dir", views)
+        assert "wrote 1/1" in out
+        assert os.path.exists(os.path.join(views, "reg_0_1.ply"))
+        out = run_cli("view", "--mode", "range", "--frames", frames_dir,
+                      "--vro", vro_path, "--start", "0", "--end", "3",
+                      "--out-dir", views)
+        assert "wrote 3/3" in out
+        lst = str(root / "vo_list.log")
+        with open(lst, "w") as f:
+            f.write("1 0 20\n2 1 30\n")
+        out = run_cli("view", "--mode", "list", "--frames", frames_dir,
+                      "--vro", vro_path, "--list", lst,
+                      "--min-num", "1", "--max-num", "26",
+                      "--out-dir", views)
+        assert "wrote 1/1" in out          # num=30 filtered by max 26
+        out = run_cli("view", "--mode", "planes", "--frames", frames_dir,
+                      "--frame-id", "0", "--min-support", "200",
+                      "--out-dir", views)
+        assert "planes" in out
+        assert os.path.exists(os.path.join(views, "planes_0.png"))
+
+    def test_imu_preview(self, scenario):
+        """launch/display tier: gyro dead-reckoning preview."""
+        root, _, _, _ = scenario
+        imu = str(root / "imu_v100.log")
+        t = np.arange(0, 2, 0.005)
+        gyr = np.zeros((len(t), 3))
+        gyr[:, 2] = 0.1                       # steady yaw rate
+        acc = np.tile([0.0, 0.0, 9.81], (len(t), 1))
+        rpy = np.zeros((len(t), 3))           # file order: yaw pitch roll
+        rpy[:, 0] = np.degrees(0.1 * t)
+        np.savetxt(imu, np.column_stack([t, acc, gyr, rpy]))
+        out_log = str(root / "rpy.log")
+        stdout = run_cli("imu-preview", "--imu", imu, "--imu-type",
+                         "vn100", "--static-samples", "0", "--out",
+                         out_log)
+        assert "drift" in stdout
+        rows = np.loadtxt(out_log)
+        # integrated yaw (col 4, deg) tracks the measured stream (col 7)
+        np.testing.assert_allclose(rows[-1, 4], rows[-1, 7], atol=0.5)
+
+    def test_map_preset_roi_and_zmax(self, scenario):
+        """mapping_PCD.launch twin drives map through --config: the ROI
+        and passthrough params must be honored."""
+        root, frames_dir, vro_path, xs = scenario
+        traj_dir = str(root / "po")
+        run_cli("posegraph", "--vro", vro_path, "--out-dir", traj_dir)
+        traj = os.path.join(traj_dir, "trajectory.log")
+        full = str(root / "full.pcd")
+        run_cli("map", "--traj", traj, "--frames", frames_dir,
+                "--out", full, "--stride", "1")
+        roi = str(root / "roi.pcd")
+        run_cli("map", "--traj", traj, "--frames", frames_dir,
+                "--config", "mapping_PCD", "--stride", "1", "--out", roi)
+        from graph_slam_tpu.mapping import read_pcd
+
+        pts_full, _ = read_pcd(full)
+        pts_roi, _ = read_pcd(roi)
+        assert 0 < len(pts_roi) < len(pts_full)
+
     def test_delete_vo_and_add_vo_sparse(self, scenario):
         """The two remaining gtsam/test log tools as CLI drivers
         (delete_vo_by_plane_check.cpp / add_vo_at_sparse_area.cpp)."""
