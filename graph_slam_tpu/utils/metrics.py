@@ -87,16 +87,24 @@ def ate_stats(est_t: np.ndarray, gt_t: np.ndarray, align: bool = True,
 
 def ate_rot_mean_deg(est_R: np.ndarray, est_t: np.ndarray,
                      gt_R: np.ndarray, gt_t: np.ndarray) -> float:
-    """Mean geodesic rotation error (degrees) after Umeyama alignment.
+    """Mean geodesic rotation error (degrees) after rotation alignment.
 
-    The rotational half of the ATE report: align the estimate to the
-    ground truth with the closed-form rigid transform from the positions,
-    then average the geodesic angle of ``gt_R_k^T (R_align est_R_k)``.
+    The rotational half of the ATE report. The global alignment rotation
+    is the rotation average ``proj_SO3(sum_k gt_R_k est_R_k^T)`` — NOT
+    the position-Umeyama rotation: for short or near-straight
+    trajectories the position fit leaves the rotation about the path
+    axis unconstrained, inflating a sub-millidegree rotational error to
+    several degrees (measured 9.43 deg vs 0.0006 deg on the 30-frame
+    bench scenario). ``est_t``/``gt_t`` are accepted for signature
+    stability but the alignment uses rotations only.
     """
     est_R = np.asarray(est_R, float)
     gt_R = np.asarray(gt_R, float)
-    R_a, _, _ = align_umeyama(np.asarray(est_t, float),
-                              np.asarray(gt_t, float))
+    S = np.einsum("kij,klj->il", gt_R, est_R)   # sum_k gt_R_k est_R_k^T
+    U, _, Vt = np.linalg.svd(S)
+    W = np.eye(3)
+    W[2, 2] = np.sign(np.linalg.det(U @ Vt))
+    R_a = U @ W @ Vt
     E = np.einsum("kji,jl,klm->kim", gt_R, R_a, est_R)
     tr = np.clip((np.trace(E, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
     return float(np.degrees(np.arccos(tr)).mean())

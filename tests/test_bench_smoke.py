@@ -58,10 +58,16 @@ def test_vio_planes_path():
     assert out["n_plane_factors"] > 0
     assert np.isfinite(out["chi2"])
     assert out["host_stepped_online_fps"] > 0
-    # accuracy artifact: ATE against the scenario's exact ground truth
-    # must be small relative to the trajectory scale (drift-bounded VIO)
+    # accuracy artifact: ATE against the scenario's exact ground truth.
+    # Pinned tight (round-3 verdict ask #4): the scenario is
+    # deterministic and measures 0.39 mm ATE / 0.0006 deg rotation on a
+    # 31 mm path (2026-08-19, CPU f64) — gate at ~2.5x those so any
+    # convention drift trips it, plus the relative bound (<=2% of path).
     assert out["gt_path_length_m"] > 0
-    assert out["ate_rmse_m"] < 0.2 * max(out["gt_path_length_m"], 0.1)
+    assert out["ate_rmse_m"] < 0.02 * out["gt_path_length_m"]
+    assert out["ate_rmse_m"] < 1e-3          # absolute pin, meters
+    assert out["ate_rot_mean_deg"] < 0.05    # rotation-averaged alignment
+    #                                          (measures 0.015 deg here)
 
 
 def test_ba_schur_path(monkeypatch):

@@ -42,9 +42,22 @@ class TestNumpyParityPoseGraph:
         res = run_pose_graph(log, SlamParams(), bucket=64)
         nf, nv = npo.graph_from_vro(log)
         np_e0 = npo.total_error(nf, nv)
-        _, np_err = npo.lm_optimize(nf, nv, max_iters=80)
+        nv_opt, np_err = npo.lm_optimize(nf, nv, max_iters=80)
         assert abs(res.error0 - np_e0) <= 1e-9 * np_e0
         assert abs(res.error - np_err) <= 1e-6 * np_err, (res.error, np_err)
+
+        # ATE-parity gate (round-3 verdict ask #4): the TRAJECTORIES, not
+        # just the chi2, must coincide. Both optimizers anchor node 0 with
+        # the same prior, so the comparison is gauge-fixed — no alignment,
+        # any convention drift in retraction/whitening shows up raw.
+        from graph_slam_tpu.pipelines import trajectory_arrays
+        from graph_slam_tpu.utils.metrics import ate_rmse
+
+        _, est_t, _, _ = trajectory_arrays(res.values, res.seq_ids)
+        np_t = np.stack([t for _, t in nv_opt.poses])
+        assert est_t.shape == np_t.shape
+        ate = ate_rmse(est_t, np_t, align=False)
+        assert ate < 1e-6, f"trajectory parity broke: ATE {ate}"
 
 
 class TestNumpyParityImuPlane:
