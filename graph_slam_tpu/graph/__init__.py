@@ -4,7 +4,7 @@ from .builder import GraphBuilder, round_up
 from .banded import band_halfwidth, banded_gn_optimize
 from .gnc import GncResult, gnc_optimize
 from .init import chordal_initialize, project_so3
-from .lm import LMParams, LMResult, lm_optimize, gn_optimize
+from .lm import LMParams, LMResult, lm_optimize, lm_optimize_g2o, gn_optimize
 from .marginals import (joint_marginal, plane_marginal, pose_marginal,
                         pose_marginals_all)
 from .online import IncrementalOptimizer, OnlineGraph
@@ -13,7 +13,7 @@ __all__ = [
     "VariableArena", "TangentLayout", "layout_of", "retract_all",
     "FactorGraph", "total_error", "linearize_blocks", "empty_graph",
     "GraphBuilder", "round_up",
-    "LMParams", "LMResult", "lm_optimize", "gn_optimize",
+    "LMParams", "LMResult", "lm_optimize", "lm_optimize_g2o", "gn_optimize",
     "band_halfwidth", "banded_gn_optimize",
     "chordal_initialize", "project_so3",
     "GncResult", "gnc_optimize",

@@ -392,10 +392,28 @@ def _backsub_points(R3, E, c1, cp_flat, live, dp):
     return dq * live[:, None]
 
 
+def _clip_rows(d, dim, max_norm):
+    """Per-variable trust region: scale (N*dim,) tangent rows whose norm
+    exceeds ``max_norm`` down to it."""
+    rows = d.reshape(-1, dim)
+    n = jnp.linalg.norm(rows, axis=1, keepdims=True)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-30))
+    return (rows * scale).reshape(-1)
+
+
 def sqrt_schur_gn_step(graph: FactorGraph, values: VariableArena,
                        obs_idx, obs_valid, prior_row, prior_valid,
-                       damping, chunk: int = 2048):
-    """One damped GN step via per-landmark QR elimination (f32-stable)."""
+                       damping, chunk: int = 2048, step_clip=None):
+    """One damped GN step via per-landmark QR elimination (f32-stable).
+
+    ``step_clip`` (meters/radians) is a per-variable trust region on the
+    tangent update: weakly-constrained landmarks (one grazing observation
+    + a loose prior) can solve to enormous finite steps whose squared
+    residuals then overflow f32 (measured: chi2 inf after one undamped
+    step on the 100k-landmark stress config while every intermediate —
+    S, g, Cholesky, dp, dq — stayed finite). GN has no globalization of
+    its own; the clamp is the fixed-trip-friendly substitute.
+    """
     lay = layout_of(values)
     Pq = obs_idx.shape[0]
     (S, g), back = _landmark_qr_reduce(
@@ -404,12 +422,15 @@ def sqrt_schur_gn_step(graph: FactorGraph, values: VariableArena,
     S, g = _add_nonpoint_and_base(graph, values, lay, S, g, damping)
     dp = _solve_reduced(S, g)
     dq = _backsub_points(*back, dp).reshape(-1)
+    if step_clip is not None:
+        dp = _clip_rows(dp, 6, step_clip)
+        dq = _clip_rows(dq, 3, step_clip)
     return retract_all(values, jnp.concatenate([dp, dq]))
 
 
 def ba_gn_optimize_sqrt(graph: FactorGraph, values: VariableArena,
                         iterations: int = 8, damping: float = 1e-6,
-                        chunk: int = 2048):
+                        chunk: int = 2048, step_clip=None):
     """GN with square-root (QR) Schur elimination, fixed trip count.
 
     The f32-stable TPU path: builds the host-side observation tables once
@@ -422,17 +443,21 @@ def ba_gn_optimize_sqrt(graph: FactorGraph, values: VariableArena,
                         jnp.asarray(obs_idx), jnp.asarray(obs_valid),
                         jnp.asarray(prior_row), jnp.asarray(prior_valid),
                         iterations=iterations, damping=float(damping),
-                        chunk=int(chunk))
+                        chunk=int(chunk),
+                        step_clip=None if step_clip is None
+                        else float(step_clip))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("iterations", "damping", "chunk"))
+                   static_argnames=("iterations", "damping", "chunk",
+                                    "step_clip"))
 def _ba_sqrt_jit(graph, values, obs_idx, obs_valid, prior_row, prior_valid,
-                 iterations, damping, chunk):
+                 iterations, damping, chunk, step_clip=None):
     def body(vals, _):
         return sqrt_schur_gn_step(
             graph, vals, obs_idx, obs_valid, prior_row, prior_valid,
-            jnp.asarray(damping, vals.pose_t.dtype), chunk=chunk), None
+            jnp.asarray(damping, vals.pose_t.dtype), chunk=chunk,
+            step_clip=step_clip), None
 
     values, _ = jax.lax.scan(body, values, None, length=iterations)
     return values, total_error(graph, values)

@@ -35,6 +35,19 @@ def round_up(n: int, bucket: int = 64) -> int:
     return max(bucket, ((n + bucket - 1) // bucket) * bucket)
 
 
+def _upload(x, dtype=None):
+    """Host-cast then upload: ``jnp.asarray(np_f64_array, f32)`` is an
+    eager convert_element_type PROGRAM — one remote compile + dispatch
+    per distinct shape over the axon TPU tunnel (the 53 converts of a
+    100k-landmark BA build measured 646 s; host-side casting makes each
+    a pure transfer). Also avoids the x64-truncation warnings on CPU."""
+    if dtype is not None:
+        x = np.asarray(x, np.dtype(jnp.dtype(dtype).name))
+    else:
+        x = np.asarray(x)
+    return jnp.asarray(x)
+
+
 def _sqrt_info(dim, sqrt_info=None, sigmas=None, information=None,
                covariance=None, sigma=None):
     if sqrt_info is not None:
@@ -263,14 +276,14 @@ class GraphBuilder:
             point[i] = p
 
         values = VariableArena(
-            pose_R=jnp.asarray(pose_R, dt), pose_t=jnp.asarray(pose_t, dt),
-            vel=jnp.asarray(vel, dt), bias=jnp.asarray(bias, dt),
-            plane=jnp.asarray(plane, dt), point=jnp.asarray(point, dt),
-            num_poses=jnp.asarray(len(self._poses), jnp.int32),
-            num_vels=jnp.asarray(len(self._vels), jnp.int32),
-            num_biases=jnp.asarray(len(self._biases), jnp.int32),
-            num_planes=jnp.asarray(len(self._planes), jnp.int32),
-            num_points=jnp.asarray(len(self._points), jnp.int32),
+            pose_R=_upload(pose_R, dt), pose_t=_upload(pose_t, dt),
+            vel=_upload(vel, dt), bias=_upload(bias, dt),
+            plane=_upload(plane, dt), point=_upload(point, dt),
+            num_poses=_upload(len(self._poses), jnp.int32),
+            num_vels=_upload(len(self._vels), jnp.int32),
+            num_biases=_upload(len(self._biases), jnp.int32),
+            num_planes=_upload(len(self._planes), jnp.int32),
+            num_points=_upload(len(self._points), jnp.int32),
         )
 
         # factor tables
@@ -305,10 +318,10 @@ class GraphBuilder:
                 if len(self._prior_pose) else np.zeros((c, 3)),
             ))
         prior_pose = PriorPoseTable(
-            idx=jnp.asarray(idxs), mean_R=jnp.asarray(Rs, dt),
-            mean_t=jnp.asarray(ts, dt), sqrt_info=jnp.asarray(S, dt),
-            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
-            active=jnp.asarray(active),
+            idx=_upload(idxs), mean_R=_upload(Rs, dt),
+            mean_t=_upload(ts, dt), sqrt_info=_upload(S, dt),
+            robust_kind=_upload(kind), robust_k=_upload(kval, dt),
+            active=_upload(active),
         )
 
         cap, kind, kval, active, S, (iis, jjs, Rs, ts) = freeze(
@@ -324,10 +337,10 @@ class GraphBuilder:
                 if len(self._between) else np.zeros((c, 3)),
             ))
         between = BetweenPoseTable(
-            i=jnp.asarray(iis), j=jnp.asarray(jjs), meas_R=jnp.asarray(Rs, dt),
-            meas_t=jnp.asarray(ts, dt), sqrt_info=jnp.asarray(S, dt),
-            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
-            active=jnp.asarray(active),
+            i=_upload(iis), j=_upload(jjs), meas_R=_upload(Rs, dt),
+            meas_t=_upload(ts, dt), sqrt_info=_upload(S, dt),
+            robust_kind=_upload(kind), robust_k=_upload(kval, dt),
+            active=_upload(active),
         )
 
         cap, kind, kval, active, S, (idxs, means) = freeze(
@@ -339,9 +352,9 @@ class GraphBuilder:
                 if len(self._prior_vel) else np.zeros((c, 3)),
             ))
         prior_vel = PriorVec3Table(
-            idx=jnp.asarray(idxs), mean=jnp.asarray(means, dt),
-            sqrt_info=jnp.asarray(S, dt), robust_kind=jnp.asarray(kind),
-            robust_k=jnp.asarray(kval, dt), active=jnp.asarray(active),
+            idx=_upload(idxs), mean=_upload(means, dt),
+            sqrt_info=_upload(S, dt), robust_kind=_upload(kind),
+            robust_k=_upload(kval, dt), active=_upload(active),
         )
 
         cap, kind, kval, active, S, (idxs, means) = freeze(
@@ -353,9 +366,9 @@ class GraphBuilder:
                 if len(self._prior_bias) else np.zeros((c, 6)),
             ))
         prior_bias = PriorVec6Table(
-            idx=jnp.asarray(idxs), mean=jnp.asarray(means, dt),
-            sqrt_info=jnp.asarray(S, dt), robust_kind=jnp.asarray(kind),
-            robust_k=jnp.asarray(kval, dt), active=jnp.asarray(active),
+            idx=_upload(idxs), mean=_upload(means, dt),
+            sqrt_info=_upload(S, dt), robust_kind=_upload(kind),
+            robust_k=_upload(kval, dt), active=_upload(active),
         )
 
         cap, kind, kval, active, S, (pidx, lidx, meas) = freeze(
@@ -368,10 +381,10 @@ class GraphBuilder:
                 if len(self._plane_factors) else np.tile(np.array([0.0, 0.0, 1.0, 0.0]), (c, 1)),
             ))
         plane_tab = PlaneTable(
-            pose_idx=jnp.asarray(pidx), plane_idx=jnp.asarray(lidx),
-            meas=jnp.asarray(meas, dt), sqrt_info=jnp.asarray(S, dt),
-            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
-            active=jnp.asarray(active),
+            pose_idx=_upload(pidx), plane_idx=_upload(lidx),
+            meas=_upload(meas, dt), sqrt_info=_upload(S, dt),
+            robust_kind=_upload(kind), robust_k=_upload(kval, dt),
+            active=_upload(active),
         )
 
         # IMU table
@@ -396,22 +409,22 @@ class GraphBuilder:
         for r, Sr in enumerate(self._imu_factors.col("S")):
             Simu[r] = Sr
         imu_tab = ImuTable(
-            i=jnp.asarray(np.array(self._imu_factors.col("i") + [0] * (icap - nimu), np.int32)),
-            j=jnp.asarray(np.array(self._imu_factors.col("j") + [0] * (icap - nimu), np.int32)),
-            dR=jnp.asarray(mat_col("dR", (3, 3), np.eye(3)), dt),
-            dp=jnp.asarray(mat_col("dp", (3,), np.zeros(3)), dt),
-            dv=jnp.asarray(mat_col("dv", (3,), np.zeros(3)), dt),
-            H_R_bg=jnp.asarray(mat_col("H_R_bg", (3, 3), np.zeros((3, 3))), dt),
-            H_p_ba=jnp.asarray(mat_col("H_p_ba", (3, 3), np.zeros((3, 3))), dt),
-            H_p_bg=jnp.asarray(mat_col("H_p_bg", (3, 3), np.zeros((3, 3))), dt),
-            H_v_ba=jnp.asarray(mat_col("H_v_ba", (3, 3), np.zeros((3, 3))), dt),
-            H_v_bg=jnp.asarray(mat_col("H_v_bg", (3, 3), np.zeros((3, 3))), dt),
-            bias_hat=jnp.asarray(mat_col("bias_hat", (6,), np.zeros(6)), dt),
-            dt=jnp.asarray(np.array([float(x) for x in self._imu_factors.col("dt")] + [1.0] * (icap - nimu)), dt),
-            gravity=jnp.asarray(mat_col("gravity", (3,), np.zeros(3)), dt),
-            sqrt_info=jnp.asarray(Simu, dt),
-            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
-            active=jnp.asarray(active),
+            i=_upload(np.array(self._imu_factors.col("i") + [0] * (icap - nimu), np.int32)),
+            j=_upload(np.array(self._imu_factors.col("j") + [0] * (icap - nimu), np.int32)),
+            dR=_upload(mat_col("dR", (3, 3), np.eye(3)), dt),
+            dp=_upload(mat_col("dp", (3,), np.zeros(3)), dt),
+            dv=_upload(mat_col("dv", (3,), np.zeros(3)), dt),
+            H_R_bg=_upload(mat_col("H_R_bg", (3, 3), np.zeros((3, 3))), dt),
+            H_p_ba=_upload(mat_col("H_p_ba", (3, 3), np.zeros((3, 3))), dt),
+            H_p_bg=_upload(mat_col("H_p_bg", (3, 3), np.zeros((3, 3))), dt),
+            H_v_ba=_upload(mat_col("H_v_ba", (3, 3), np.zeros((3, 3))), dt),
+            H_v_bg=_upload(mat_col("H_v_bg", (3, 3), np.zeros((3, 3))), dt),
+            bias_hat=_upload(mat_col("bias_hat", (6,), np.zeros(6)), dt),
+            dt=_upload(np.array([float(x) for x in self._imu_factors.col("dt")] + [1.0] * (icap - nimu)), dt),
+            gravity=_upload(mat_col("gravity", (3,), np.zeros(3)), dt),
+            sqrt_info=_upload(Simu, dt),
+            robust_kind=_upload(kind), robust_k=_upload(kval, dt),
+            active=_upload(active),
         )
 
         # projection table
@@ -436,13 +449,13 @@ class GraphBuilder:
             Sproj[r] = row["S"]; uv[r] = row["uv"]; cal[r] = row["cal"]
             bR[r] = row["bR"]; bt[r] = row["bt"]
         proj_tab = ProjectionTable(
-            pose_idx=jnp.asarray(np.array(self._projection.col("pose_idx") + [0] * (pcap - nproj), np.int32)),
-            point_idx=jnp.asarray(np.array(self._projection.col("point_idx") + [0] * (pcap - nproj), np.int32)),
-            uv=jnp.asarray(uv, dt), cal=jnp.asarray(cal, dt),
-            body_R=jnp.asarray(bR, dt), body_t=jnp.asarray(bt, dt),
-            sqrt_info=jnp.asarray(Sproj, dt),
-            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
-            active=jnp.asarray(active),
+            pose_idx=_upload(np.array(self._projection.col("pose_idx") + [0] * (pcap - nproj), np.int32)),
+            point_idx=_upload(np.array(self._projection.col("point_idx") + [0] * (pcap - nproj), np.int32)),
+            uv=_upload(uv, dt), cal=_upload(cal, dt),
+            body_R=_upload(bR, dt), body_t=_upload(bt, dt),
+            sqrt_info=_upload(Sproj, dt),
+            robust_kind=_upload(kind), robust_k=_upload(kval, dt),
+            active=_upload(active),
         )
 
         # point-prior table
@@ -464,10 +477,10 @@ class GraphBuilder:
             Spp[r] = self._prior_point.rows[r]["S"]
             means[r] = self._prior_point.rows[r]["mean"]
         pp_tab = PriorPointTable(
-            idx=jnp.asarray(np.array(self._prior_point.col("idx") + [0] * (qcap - npp), np.int32)),
-            mean=jnp.asarray(means, dt), sqrt_info=jnp.asarray(Spp, dt),
-            robust_kind=jnp.asarray(kind), robust_k=jnp.asarray(kval, dt),
-            active=jnp.asarray(active),
+            idx=_upload(np.array(self._prior_point.col("idx") + [0] * (qcap - npp), np.int32)),
+            mean=_upload(means, dt), sqrt_info=_upload(Spp, dt),
+            robust_kind=_upload(kind), robust_k=_upload(kval, dt),
+            active=_upload(active),
         )
 
         graph = FactorGraph(

@@ -36,7 +36,8 @@ from .sparsity import (
 )
 from .variables import VariableArena, retract_all, used_slot_mask
 
-__all__ = ["LMParams", "LMResult", "lm_optimize", "gn_optimize"]
+__all__ = ["LMParams", "LMResult", "lm_optimize", "lm_optimize_g2o",
+           "gn_optimize"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -232,6 +233,96 @@ def lm_optimize(graph: FactorGraph, values: VariableArena,
         outer_cond, outer_body, state0
     )
     return LMResult(values, error, it, lam, done)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("total_iters", "chunks", "max_trials"))
+def lm_optimize_g2o(graph: FactorGraph, values: VariableArena,
+                    total_iters: int = 20, chunks: int = 10,
+                    tau: float = 1e-5, max_trials: int = 10) -> LMResult:
+    """g2o ``CGraphG2O::optimizeGraph`` semantics
+    (``/root/reference/g2o/g2o_graph.cpp:241-252``): ``iter=20`` LM
+    iterations executed as ``chunks=10`` calls of ``optimize(2)``.
+
+    The chunking is semantic, not cosmetic: g2o's
+    ``OptimizationAlgorithmLevenberg`` re-initializes its damping at the
+    START OF EVERY ``optimize()`` CALL (``lambda0 = tau * max_i H_ii``,
+    tau = 1e-5) and adapts it with the Marquardt–Nielsen schedule inside
+    the call (accept: ``lam *= max(1/3, 1-(2*rho-1)^3)``, ni = 2;
+    reject: ``lam *= ni``, ``ni *= 2``). The per-chunk lambda RESETS make
+    the chi2 trajectory differ from GTSAM's monotone fixed-factor
+    schedule (``lm_optimize``) even though both converge to the same
+    optimum — exactly the divergence the reference's two backends show.
+    Returns ``history``: chi2 after each chunk, (chunks,).
+    """
+    dtype = values.pose_t.dtype
+    err0 = total_error(graph, values)
+    iters_per_chunk = -(-total_iters // chunks)   # ceil(iter/10) = 2
+    mask = used_slot_mask(values)
+    params = LMParams(solver="dense")
+
+    def one_iteration(carry, lam_init):
+        """One g2o iteration: relinearize, then the trial loop."""
+        vals, err, lam, ni = carry
+        blocks = linearize_blocks(graph, vals)
+        dim = mask.shape[0]
+        H = jnp.diag(1.0 - mask)
+        g = jnp.zeros(dim, dtype)
+        for r, J, cols in blocks:
+            H = H.at[cols[:, :, None], cols[:, None, :]].add(
+                jnp.einsum("fei,fej->fij", J, J))
+            g = g.at[cols].add(jnp.einsum("fei,fe->fi", J, r))
+        # lambda0 = tau * max_i H_ii over the FREE variables: g2o FIXES
+        # vertex 0 (setFixed, g2o_graph.cpp:80-94) so its rows never
+        # enter H there; this builder pins it with a sigma=1e-6 prior
+        # instead, which would inflate max H_ii by ~1e12 and stall the
+        # Nielsen schedule at a huge lambda. Excluding the anchor's 6
+        # slots from the max reproduces the fixed-vertex H.
+        diag_free = jnp.diagonal(H).at[:6].set(0.0)
+        lam = jnp.where(lam_init, tau * jnp.max(diag_free), lam)
+
+        def trial_cond(ts):
+            lam, ni, trials, accepted, *_ = ts
+            return (~accepted) & (trials < max_trials)
+
+        def trial_body(ts):
+            lam, ni, trials, _, best_vals, best_err = ts
+            delta = solve.solve_dense(H, g, lam)
+            new_vals = retract_all(vals, delta)
+            new_err = total_error(graph, new_vals)
+            # g2o's gain ratio: rho = (F(x) - F(x+d)) / (d^T(lam*d - g))
+            denom = jnp.dot(delta, lam * delta - g)
+            rho = (err - new_err) / jnp.where(denom != 0, denom, 1.0)
+            ok = (rho > 0) & jnp.isfinite(new_err)
+            # Nielsen schedule
+            scale = jnp.maximum(1.0 / 3.0,
+                                1.0 - (2.0 * rho - 1.0) ** 3)
+            lam_next = jnp.where(ok, lam * scale, lam * ni)
+            ni_next = jnp.where(ok, 2.0, ni * 2.0)
+            best_vals = jax.tree.map(
+                lambda a, b: jnp.where(ok, b, a), best_vals, new_vals)
+            best_err = jnp.where(ok, new_err, best_err)
+            return (lam_next, ni_next, trials + 1, ok, best_vals, best_err)
+
+        ts0 = (lam, ni, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+               vals, err)
+        lam, ni, _, _, vals, err = jax.lax.while_loop(
+            trial_cond, trial_body, ts0)
+        return (vals, err, lam, ni), None
+
+    def chunk_body(carry, _):
+        vals, err = carry
+        # lambda re-initialized on the chunk's first iteration
+        inner = (vals, err, jnp.asarray(tau, dtype), jnp.asarray(2.0, dtype))
+        for k in range(iters_per_chunk):     # static, tiny (2)
+            inner, _ = one_iteration(inner, lam_init=(k == 0))
+        vals, err, *_ = inner
+        return (vals, err), err
+
+    (values, error), hist = jax.lax.scan(chunk_body, (values, err0), None,
+                                         length=chunks)
+    return LMResult(values, error, jnp.asarray(total_iters, jnp.int32),
+                    jnp.zeros((), dtype), jnp.ones((), bool), hist)
 
 
 @functools.partial(

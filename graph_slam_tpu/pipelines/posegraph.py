@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..config import SlamParams
 from ..core import se3, so3
 from ..graph import (GraphBuilder, LMParams, chordal_initialize, gn_optimize,
-                     gnc_optimize, lm_optimize, total_error)
+                     gnc_optimize, lm_optimize, lm_optimize_g2o, total_error)
 from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
 
 __all__ = ["PoseGraphResult", "build_pose_graph", "run_pose_graph",
@@ -166,6 +166,10 @@ def run_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
         )
     if params.optimizer == "gn":
         res = gn_optimize(graph, values, iterations=params.optimize_step)
+    elif backend == "g2o":
+        # the g2o driver's schedule: 20 LM iterations in chunks of 2 with
+        # per-chunk lambda re-init (g2o_graph.cpp:241-252)
+        res = lm_optimize_g2o(graph, values)
     else:
         res = lm_optimize(graph, values, lm_params)
     return PoseGraphResult(
