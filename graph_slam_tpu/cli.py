@@ -1061,11 +1061,10 @@ def build_parser():
                         "frames-driven plane rescue (flips the default "
                         "--plane-mode to 'rescue')")
     s.add_argument("--camera", choices=["sr4000", "rs435", "tum-fr1", "tum-fr2", "tum-fr3"], default=None)
-    s.add_argument("--engine", choices=["online", "scan", "rebuild"],
+    s.add_argument("--engine", choices=["online", "scan"],
                    default=None,
-                   help="replay engine: per-frame online arenas (default), "
-                        "whole-replay-on-device scan (plane-free), or "
-                        "host-rebuild cross-check")
+                   help="replay engine: per-frame online arenas (default) "
+                        "or the whole-replay-on-device scan")
     s.add_argument("--out-dir", default="out")
     s.add_argument("--config",
                    help="JSON config path or preset name (see 'presets')")
