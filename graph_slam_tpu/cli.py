@@ -772,6 +772,8 @@ def cmd_view(args):
     if args.mode == "planes":
         from .planes import extract_plane_node
 
+        if args.frame_id is None:
+            raise SystemExit("view: --frame-id is required for mode planes")
         fr = store(args.frame_id)
         if fr is None:
             raise SystemExit(f"view: no frame {args.frame_id}")
@@ -793,6 +795,9 @@ def cmd_view(args):
         raise SystemExit(f"view: --vro is required for mode {args.mode}")
     log = read_vro_log(args.vro)
     if args.mode == "pair":
+        if args.from_id is None or args.to_id is None:
+            raise SystemExit("view: --from-id and --to-id are required "
+                             "for mode pair")
         pairs = [(args.from_id, args.to_id)]
     elif args.mode == "range":
         sel = (log.id_from >= args.start) & (log.id_to <= args.end)

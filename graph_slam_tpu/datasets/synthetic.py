@@ -243,50 +243,56 @@ def make_vio_plane_scenario(n_frames: int = 200, per: int = 20,
         gyr[k] = 0.9 * gyr[k - 1] + 0.1 * gyr[k]
         drive[k] = 0.9 * drive[k - 1] + 0.1 * drive[k]
 
-    # gravity-CONSISTENT accelerometer: rotate gravity into the current
-    # body frame and drive a mean-reverting world velocity, so the
-    # trajectory stays room-scale and the specific force matches the
-    # integrated attitude (a fixed body-frame -g with a rotating body
-    # leaves unbounded uncompensated acceleration)
-    @jax.jit
-    def gen_acc(gyr_all, drive_all):
-        g_w = jnp.asarray(params.gravity)
+    # ALL numeric generation runs in f64 whatever the caller's x64
+    # flag: a 540k-step f32 attitude/velocity chain DIVERGES (the
+    # 27k-frame ground truth measured a 19.6 km runaway path in f32
+    # vs 39.6 m in f64, 2026-08-19) -- the scenario must be exact,
+    # only the replay under test runs in the benchmark dtype
+    with jax.enable_x64():
+        # gravity-CONSISTENT accelerometer: rotate gravity into the current
+        # body frame and drive a mean-reverting world velocity, so the
+        # trajectory stays room-scale and the specific force matches the
+        # integrated attitude (a fixed body-frame -g with a rotating body
+        # leaves unbounded uncompensated acceleration)
+        @jax.jit
+        def gen_acc(gyr_all, drive_all):
+            g_w = jnp.asarray(params.gravity)
 
-        def step(carry, x):
-            R, v = carry
-            g_, w_ = x
-            Rn = R @ so3.expmap(g_ * dt)
-            v_new = 0.999 * v + w_ * dt
-            a_w = (v_new - v) / dt
-            return (Rn, v_new), Rn.T @ (a_w - g_w)
+            def step(carry, x):
+                R, v = carry
+                g_, w_ = x
+                Rn = R @ so3.expmap(g_ * dt)
+                v_new = 0.999 * v + w_ * dt
+                a_w = (v_new - v) / dt
+                return (Rn, v_new), Rn.T @ (a_w - g_w)
 
-        (_, _), accs = jax.lax.scan(step, (jnp.eye(3), jnp.zeros(3)),
-                                    (gyr_all, drive_all))
-        return accs
+            (_, _), accs = jax.lax.scan(step, (jnp.eye(3), jnp.zeros(3)),
+                                        (gyr_all, drive_all))
+            return accs
 
-    acc = np.asarray(gen_acc(jnp.asarray(gyr), jnp.asarray(drive)))
-    stream = ImuStream(t=np.arange(n_meas) * dt, acc=acc, gyr=gyr, dt=dt)
+        acc = np.asarray(gen_acc(jnp.asarray(gyr), jnp.asarray(drive)))
+        stream = ImuStream(t=np.arange(n_meas) * dt, acc=acc, gyr=gyr, dt=dt)
 
-    @jax.jit
-    def chain(acc_w, gyr_w):
-        def step(carry, x):
-            R, t, v = carry
-            st = integrate_segment(init_preint(jnp.zeros(6), params),
-                                   x[0], x[1], jnp.full(per, dt), params)
-            Xj, vj = predict_navstate(st, se3.Pose(R, t), v,
-                                      jnp.zeros(6), params.gravity)
-            return (Xj.R, Xj.t, vj), (Xj.R, Xj.t)
-        _, (Rs, ts) = jax.lax.scan(
-            step, (jnp.eye(3), jnp.zeros(3), jnp.zeros(3)), (acc_w, gyr_w))
-        return Rs, ts
+        @jax.jit
+        def chain(acc_w, gyr_w):
+            def step(carry, x):
+                R, t, v = carry
+                st = integrate_segment(init_preint(jnp.zeros(6), params),
+                                       x[0], x[1], jnp.full(per, dt), params)
+                Xj, vj = predict_navstate(st, se3.Pose(R, t), v,
+                                          jnp.zeros(6), params.gravity)
+                return (Xj.R, Xj.t, vj), (Xj.R, Xj.t)
+            _, (Rs, ts) = jax.lax.scan(
+                step, (jnp.eye(3), jnp.zeros(3), jnp.zeros(3)), (acc_w, gyr_w))
+            return Rs, ts
 
-    acc_w = jnp.asarray(acc[:(n_frames - 1) * per]
-                        .reshape(n_frames - 1, per, 3))
-    gyr_w = jnp.asarray(gyr[:(n_frames - 1) * per]
-                        .reshape(n_frames - 1, per, 3))
-    Rs_j, ts_j = chain(acc_w, gyr_w)
-    Rs = np.concatenate([np.eye(3)[None], np.asarray(Rs_j)])
-    ts = np.concatenate([np.zeros(3)[None], np.asarray(ts_j)])
+        acc_w = jnp.asarray(acc[:(n_frames - 1) * per]
+                            .reshape(n_frames - 1, per, 3))
+        gyr_w = jnp.asarray(gyr[:(n_frames - 1) * per]
+                            .reshape(n_frames - 1, per, 3))
+        Rs_j, ts_j = chain(acc_w, gyr_w)
+        Rs = np.concatenate([np.eye(3)[None], np.asarray(Rs_j)])
+        ts = np.concatenate([np.zeros(3)[None], np.asarray(ts_j)])
 
     scene = [(np.array([0.0, 0.0, 1.0, -4.0]), 150.0),
              (np.array([0.0, 1.0, 0.0, -0.8]), 80.0)]
@@ -322,21 +328,25 @@ def make_vio_plane_scenario(n_frames: int = 200, per: int = 20,
         else:
             xis.append(None)   # batch-filled below in one device call
             infos.append(info)
-    # relative-pose logs via the library's se3 (batched, one dispatch)
+    # relative-pose logs via the library's se3 (batched, one dispatch;
+    # f64 like the rest of the generation — these edges are the EXACT
+    # measurements the accuracy numbers are judged against)
     valid = [k for k in range(len(id_to)) if xis[k] is None]
     if valid:
         from ..core import se3 as _se3
 
-        @jax.jit
-        def rel_logs(Ra, ta, Rb, tb):
-            return jax.vmap(lambda RA, tA, RB, tB: _se3.logmap(
-                _se3.between(_se3.Pose(RA, tA), _se3.Pose(RB, tB))))(
-                Ra, ta, Rb, tb)
+        with jax.enable_x64():
+            @jax.jit
+            def rel_logs(Ra, ta, Rb, tb):
+                return jax.vmap(lambda RA, tA, RB, tB: _se3.logmap(
+                    _se3.between(_se3.Pose(RA, tA), _se3.Pose(RB, tB))))(
+                    Ra, ta, Rb, tb)
 
-        ia = np.asarray([id_from[k] for k in valid])
-        ib = np.asarray([id_to[k] for k in valid])
-        lv = np.asarray(rel_logs(jnp.asarray(Rs[ia]), jnp.asarray(ts[ia]),
-                                 jnp.asarray(Rs[ib]), jnp.asarray(ts[ib])))
+            ia = np.asarray([id_from[k] for k in valid])
+            ib = np.asarray([id_to[k] for k in valid])
+            lv = np.asarray(rel_logs(
+                jnp.asarray(Rs[ia]), jnp.asarray(ts[ia]),
+                jnp.asarray(Rs[ib]), jnp.asarray(ts[ib])))
         for q, k in enumerate(valid):
             xis[k] = lv[q]
     log = VROLog(np.asarray(id_to), np.asarray(id_from), np.stack(xis),
