@@ -80,11 +80,20 @@ def _ply_header(n: int) -> str:
 
 
 def write_ply_points(path: str, points, colors) -> None:
-    """Colored ASCII PLY; ``colors`` is (N, 3) uint8 or a single RGB triple."""
+    """Colored ASCII PLY; ``colors`` is (N, 3) uint8 or a single RGB triple.
+
+    Rows go through the native runtime (``native.write_cloud_ascii``)
+    with the Python loop as the fallback.
+    """
     points = np.asarray(points)
     colors = np.asarray(colors)
     if colors.ndim == 1:
         colors = np.broadcast_to(colors, (len(points), 3))
+    from .. import native
+
+    if native.write_cloud_ascii(path, _ply_header(len(points)), points,
+                                colors, mode=2):
+        return
     with open(path, "w") as f:
         f.write(_ply_header(len(points)))
         for p, c in zip(points, colors):

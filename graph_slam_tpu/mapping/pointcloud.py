@@ -97,19 +97,29 @@ def occupancy_denoise(points, colors=None, voxel: float = 0.05,
 
 
 def write_pcd(path: str, points, colors=None) -> None:
-    """ASCII PCD v0.7 writer (pcl::io::savePCDFile role)."""
+    """ASCII PCD v0.7 writer (pcl::io::savePCDFile role).
+
+    Body rows go through the native runtime
+    (``native.write_cloud_ascii``, buffered fprintf — the reference's
+    writer is PCL C++) with this Python loop as the fallback.
+    """
     points = np.asarray(points)
     n = len(points)
+    header = "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+    if colors is not None:
+        header += ("FIELDS x y z rgb\nSIZE 4 4 4 4\nTYPE F F F U\n"
+                   "COUNT 1 1 1 1\n")
+    else:
+        header += "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+    header += (f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+               f"POINTS {n}\nDATA ascii\n")
+    from .. import native
+
+    if native.write_cloud_ascii(path, header, points, colors,
+                                mode=1 if colors is not None else 0):
+        return
     with open(path, "w") as f:
-        f.write("# .PCD v0.7 - Point Cloud Data file format\n")
-        f.write("VERSION 0.7\n")
-        if colors is not None:
-            f.write("FIELDS x y z rgb\nSIZE 4 4 4 4\nTYPE F F F U\n"
-                    "COUNT 1 1 1 1\n")
-        else:
-            f.write("FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n")
-        f.write(f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n")
-        f.write(f"POINTS {n}\nDATA ascii\n")
+        f.write(header)
         if colors is not None:
             cols = np.asarray(colors).astype(np.uint32)
             rgb = (cols[:, 0] << 16) | (cols[:, 1] << 8) | cols[:, 2]

@@ -15,7 +15,7 @@ import tempfile
 import numpy as np
 
 __all__ = ["available", "parse_vro_log", "write_vro_log",
-           "read_frame_u16", "read_frames_u16"]
+           "read_frame_u16", "read_frames_u16", "write_cloud_ascii"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "gst_native.cpp")
@@ -63,6 +63,10 @@ def _load():
     lib.gst_read_frames_u16.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
         ctypes.c_long, ctypes.POINTER(ctypes.c_ushort), ctypes.c_long]
+    lib.gst_write_cloud_ascii.restype = ctypes.c_long
+    lib.gst_write_cloud_ascii.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long, ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -113,6 +117,31 @@ def read_frame_u16(path: str, w: int, h: int):
     if got != w * h:
         return None
     return out
+
+
+def write_cloud_ascii(path: str, header: str, points, colors,
+                      mode: int) -> bool:
+    """Native ASCII point-cloud body writer (savePCDFile / PLY role).
+
+    ``mode``: 0 = xyz, 1 = xyz + packed-u32 rgb (PCD), 2 = xyz + r g b
+    (PLY). Returns False when the native runtime is unavailable — callers
+    fall back to the Python row loop.
+    """
+    lib = _load()
+    if not lib:
+        return False
+    pts = np.ascontiguousarray(points, np.float32)
+    n = len(pts)
+    if mode in (1, 2):
+        rgb = np.ascontiguousarray(colors, np.uint8)
+        rgb_p = rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    else:
+        rgb_p = ctypes.POINTER(ctypes.c_ubyte)()
+    got = lib.gst_write_cloud_ascii(
+        path.encode(), header.encode(),
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), rgb_p, n,
+        mode)
+    return got == n
 
 
 def read_frames_u16(paths, w: int, h: int, n_threads: int = 8):

@@ -137,4 +137,38 @@ long gst_read_frames_u16(const char* const* paths, long n, long w, long h,
     return started ? job.failures : -1;
 }
 
+// Write an ASCII point-cloud body (the pcl::io::savePCDFile /
+// ASCII-PLY role): header string first, then n rows of "x y z" plus
+// mode-dependent color. %.9g round-trips float32 exactly.
+//   mode 0: xyz only
+//   mode 1: xyz + packed u32 rgb from the (n,3) u8 triples (PCD "rgb")
+//   mode 2: xyz + "r g b" u8 triple (PLY vertex row)
+// Returns rows written or -1 on open failure.
+long gst_write_cloud_ascii(const char* path, const char* header,
+                           const float* pts, const unsigned char* rgb,
+                           long n, int mode) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return -1;
+    setvbuf(f, nullptr, _IOFBF, 1 << 20);
+    fputs(header, f);
+    for (long i = 0; i < n; ++i) {
+        const float* p = pts + i * 3;
+        if (mode == 1) {
+            const unsigned char* c = rgb + i * 3;
+            unsigned long packed = ((unsigned long)c[0] << 16) |
+                                   ((unsigned long)c[1] << 8) | c[2];
+            fprintf(f, "%.9g %.9g %.9g %lu\n",
+                    p[0], p[1], p[2], packed);
+        } else if (mode == 2) {
+            const unsigned char* c = rgb + i * 3;
+            fprintf(f, "%.9g %.9g %.9g %u %u %u\n",
+                    p[0], p[1], p[2], c[0], c[1], c[2]);
+        } else {
+            fprintf(f, "%.9g %.9g %.9g\n", p[0], p[1], p[2]);
+        }
+    }
+    fclose(f);
+    return n;
+}
+
 }  // extern "C"

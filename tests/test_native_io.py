@@ -84,3 +84,58 @@ class TestFrameStore:
     def test_missing_frame_returns_none(self, tmp_path):
         store = FrameStore(str(tmp_path))
         assert store(99) is None
+
+
+class TestNativeCloudWriter:
+    """native.write_cloud_ascii (savePCDFile / ASCII-PLY role): the
+    native body writer and the Python fallback must produce equivalent,
+    f32-exact files (round-4 native-runtime addition)."""
+
+    def _cloud(self, n=2000, seed=0):
+        r = np.random.default_rng(seed)
+        return (r.normal(size=(n, 3)).astype(np.float32),
+                r.integers(0, 255, (n, 3)).astype(np.uint8))
+
+    def test_pcd_roundtrip_both_paths(self, tmp_path, monkeypatch):
+        from graph_slam_tpu.mapping import read_pcd, write_pcd
+
+        pts, cols = self._cloud()
+        p_nat = str(tmp_path / "nat.pcd")
+        write_pcd(p_nat, pts, cols)
+        b, c = read_pcd(p_nat)
+        np.testing.assert_array_equal(np.float32(b), pts)
+        np.testing.assert_array_equal(c, cols)
+
+        # force the Python fallback; parsed contents must agree f32-exactly
+        monkeypatch.setattr(native, "write_cloud_ascii",
+                            lambda *a, **k: False)
+        p_py = str(tmp_path / "py.pcd")
+        write_pcd(p_py, pts, cols)
+        b2, c2 = read_pcd(p_py)
+        np.testing.assert_array_equal(np.float32(b2), np.float32(b))
+        np.testing.assert_array_equal(c2, c)
+
+    def test_ply_rows_and_header(self, tmp_path, monkeypatch):
+        from graph_slam_tpu.io import write_ply_points
+
+        pts, cols = self._cloud(n=123, seed=1)
+        p = str(tmp_path / "a.ply")
+        write_ply_points(p, pts, cols)
+        lines = open(p).read().splitlines()
+        assert lines[0] == "ply" and "end_header" in lines
+        body = lines[lines.index("end_header") + 1:]
+        assert len(body) == 123
+        first = body[0].split()
+        np.testing.assert_array_equal(
+            np.float32(first[:3]), pts[0])
+        assert [int(x) for x in first[3:]] == list(cols[0])
+
+    def test_pcd_without_colors(self, tmp_path):
+        from graph_slam_tpu.mapping import read_pcd, write_pcd
+
+        pts, _ = self._cloud(n=57, seed=2)
+        p = str(tmp_path / "xyz.pcd")
+        write_pcd(p, pts)
+        b, c = read_pcd(p)
+        np.testing.assert_array_equal(np.float32(b), pts)
+        assert c is None
