@@ -401,6 +401,26 @@ def _clip_rows(d, dim, max_norm):
     return (rows * scale).reshape(-1)
 
 
+def _clip_nonpoint(dp, lay, max_norm):
+    """Per-variable trust region over the whole non-point tangent.
+
+    Clips each variable by its OWN tangent width from the layout (poses 6,
+    velocities 3, biases 6, planes 3) — a flat (-1, 6) reshape would
+    misgroup the 3-wide slots into cross-variable rows on BA+IMU/plane
+    graphs and scale one variable's update by another's magnitude.
+    """
+    segs = [
+        _clip_rows(dp[off:off + width * cap], width, max_norm)
+        for off, width, cap in (
+            (lay.pose_off, 6, lay.pose_cap),
+            (lay.vel_off, 3, lay.vel_cap),
+            (lay.bias_off, 6, lay.bias_cap),
+            (lay.plane_off, 3, lay.plane_cap),
+        ) if cap
+    ]
+    return segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+
+
 def sqrt_schur_gn_step(graph: FactorGraph, values: VariableArena,
                        obs_idx, obs_valid, prior_row, prior_valid,
                        damping, chunk: int = 2048, step_clip=None):
@@ -423,7 +443,7 @@ def sqrt_schur_gn_step(graph: FactorGraph, values: VariableArena,
     dp = _solve_reduced(S, g)
     dq = _backsub_points(*back, dp).reshape(-1)
     if step_clip is not None:
-        dp = _clip_rows(dp, 6, step_clip)
+        dp = _clip_nonpoint(dp, lay, step_clip)
         dq = _clip_rows(dq, 3, step_clip)
     return retract_all(values, jnp.concatenate([dp, dq]))
 

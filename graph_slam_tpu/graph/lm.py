@@ -34,7 +34,12 @@ from .sparsity import (
     gradient_gather,
     hvp_fn_gather,
 )
-from .variables import VariableArena, retract_all, used_slot_mask
+from .variables import (
+    VariableArena,
+    layout_of,
+    retract_all,
+    used_slot_mask,
+)
 
 __all__ = ["LMParams", "LMResult", "lm_optimize", "lm_optimize_g2o",
            "gn_optimize"]
@@ -66,6 +71,46 @@ class LMResult(NamedTuple):
     history: jnp.ndarray | None = None   # (iters,) chi2 after each GN step
 
 
+def _dense_hg(blocks, mask):
+    """Dense GN normal equations (H, g) from linearized blocks.
+
+    Unused tangent slots are pinned with an identity diagonal so H stays
+    nonsingular under arena padding; inactive factor rows contribute zero
+    because ``linearize_blocks`` already zeroes them.
+    """
+    dim = mask.shape[0]
+    H = jnp.diag(1.0 - mask)
+    g = jnp.zeros(dim, dtype=mask.dtype)
+    for r, J, cols in blocks:
+        H = H.at[cols[:, :, None], cols[:, None, :]].add(
+            jnp.einsum("fei,fej->fij", J, J))
+        g = g.at[cols].add(jnp.einsum("fei,fe->fi", J, r))
+    return H, g
+
+
+def _anchored_slot_mask(graph: FactorGraph, values: VariableArena):
+    """Boolean (dim,) mask of tangent slots held by a near-rigid pose prior.
+
+    g2o marks its gauge with ``setFixed`` (vertex rows never enter H,
+    ``/root/reference/g2o/g2o_graph.cpp:80-94``); this builder pins the
+    gauge with a tight prior instead. Any pose carrying sqrt-information
+    above ~1e4 (sigma below ~1e-4) plays the fixed-vertex role, wherever
+    it sits in the arena — deriving the mask from the prior table instead
+    of assuming pose 0 keeps ``lambda0 = tau * max_i H_ii`` sane for
+    graphs anchored elsewhere.
+    """
+    lay = layout_of(values)
+    anchored = jnp.zeros(lay.dim, bool)
+    pp = graph.prior_pose
+    if pp.idx.shape[0]:
+        tight = pp.active & (
+            jax.vmap(jnp.diagonal)(pp.sqrt_info).max(axis=1) > 1e4)
+        cols = lay.pose_cols(pp.idx)
+        anchored = anchored.at[cols].max(
+            jnp.broadcast_to(tight[:, None], cols.shape))
+    return anchored
+
+
 def _solvers(blocks, mask, params: LMParams, inc: Incidence | None = None):
     """Return (solve(lam) -> delta, hmul(delta) -> H delta, g).
 
@@ -85,6 +130,17 @@ def _solvers(blocks, mask, params: LMParams, inc: Incidence | None = None):
 
         def hmul(v):
             return hvp0(v)
+
+        return solve_fn, hmul, g
+
+    if params.solver == "dense":
+        H, g = _dense_hg(blocks, mask)
+
+        def solve_fn(lam):
+            return solve.solve_dense(H, g, lam)
+
+        def hmul(v):
+            return H @ v
 
         return solve_fn, hmul, g
 
@@ -144,21 +200,6 @@ def _solvers(blocks, mask, params: LMParams, inc: Incidence | None = None):
 
         def hmul(v):
             return hvp0(v)
-
-        return solve_fn, hmul, g
-
-    if params.solver == "dense":
-        dim = mask.shape[0]
-        H = jnp.diag(1.0 - mask)
-        for r, J, cols in blocks:
-            Hf = jnp.einsum("fei,fej->fij", J, J)
-            H = H.at[cols[:, :, None], cols[:, None, :]].add(Hf)
-
-        def solve_fn(lam):
-            return solve.solve_dense(H, g, lam)
-
-        def hmul(v):
-            return H @ v
 
         return solve_fn, hmul, g
 
@@ -261,24 +302,19 @@ def lm_optimize_g2o(graph: FactorGraph, values: VariableArena,
     mask = used_slot_mask(values)
     params = LMParams(solver="dense")
 
+    # slots pinned by a near-rigid prior play g2o's fixed-vertex role:
+    # their ~1e12 H_ii would inflate lambda0 and stall the Nielsen
+    # schedule (see _anchored_slot_mask)
+    anchored = _anchored_slot_mask(graph, values)
+
     def one_iteration(carry, lam_init):
         """One g2o iteration: relinearize, then the trial loop."""
         vals, err, lam, ni = carry
         blocks = linearize_blocks(graph, vals)
-        dim = mask.shape[0]
-        H = jnp.diag(1.0 - mask)
-        g = jnp.zeros(dim, dtype)
-        for r, J, cols in blocks:
-            H = H.at[cols[:, :, None], cols[:, None, :]].add(
-                jnp.einsum("fei,fej->fij", J, J))
-            g = g.at[cols].add(jnp.einsum("fei,fe->fi", J, r))
-        # lambda0 = tau * max_i H_ii over the FREE variables: g2o FIXES
-        # vertex 0 (setFixed, g2o_graph.cpp:80-94) so its rows never
-        # enter H there; this builder pins it with a sigma=1e-6 prior
-        # instead, which would inflate max H_ii by ~1e12 and stall the
-        # Nielsen schedule at a huge lambda. Excluding the anchor's 6
-        # slots from the max reproduces the fixed-vertex H.
-        diag_free = jnp.diagonal(H).at[:6].set(0.0)
+        H, g = _dense_hg(blocks, mask)
+        # lambda0 = tau * max_i H_ii over the FREE variables only,
+        # reproducing the fixed-vertex H of the reference
+        diag_free = jnp.where(anchored, 0.0, jnp.diagonal(H))
         lam = jnp.where(lam_init, tau * jnp.max(diag_free), lam)
 
         def trial_cond(ts):

@@ -46,9 +46,19 @@ def _load():
         return False
     try:
         lib = ctypes.CDLL(path)
-    except OSError:
+        _bind(lib)
+    except (OSError, AttributeError):
+        # AttributeError: a stale cached .so predating a newly added
+        # symbol (mtime-preserving installs pass the _build() freshness
+        # check) — degrade to the Python fallbacks instead of crashing
+        # every IO path.
         _LIB = False
         return False
+    _LIB = lib
+    return lib
+
+
+def _bind(lib) -> None:
     lib.gst_parse_vro_log.restype = ctypes.c_long
     lib.gst_parse_vro_log.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long]
@@ -67,8 +77,6 @@ def _load():
     lib.gst_write_cloud_ascii.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long, ctypes.c_int]
-    _LIB = lib
-    return lib
 
 
 def available() -> bool:

@@ -167,9 +167,15 @@ def run_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
     if params.optimizer == "gn":
         res = gn_optimize(graph, values, iterations=params.optimize_step)
     elif backend == "g2o":
-        # the g2o driver's schedule: 20 LM iterations in chunks of 2 with
-        # per-chunk lambda re-init (g2o_graph.cpp:241-252)
-        res = lm_optimize_g2o(graph, values)
+        # the g2o driver's schedule: LM iterations in chunks of 2 with
+        # per-chunk lambda re-init (g2o_graph.cpp:241-252). The caller's
+        # iteration budget is honored (the reference's 20 is the LMParams
+        # default here only when the caller left max_iterations untouched);
+        # the remaining LMParams fields have no g2o counterpart.
+        total = (20 if lm_params.max_iterations
+                 == LMParams.max_iterations else lm_params.max_iterations)
+        res = lm_optimize_g2o(graph, values, total_iters=total,
+                              chunks=max(1, -(-total // 2)))
     else:
         res = lm_optimize(graph, values, lm_params)
     return PoseGraphResult(

@@ -232,3 +232,33 @@ class TestSqrtSchur:
                                    np.asarray(v_ne.point), atol=1e-6)
         np.testing.assert_allclose(np.asarray(v_sq.pose_t),
                                    np.asarray(v_ne.pose_t), atol=1e-6)
+
+
+def test_clip_nonpoint_groups_by_variable_kind():
+    """step_clip's trust region must clip each variable by its own tangent
+    width — a flat (-1, 6) reshape misgroups 3-wide velocity/plane slots
+    into cross-variable rows (round-4 review)."""
+    import jax.numpy as jnp
+
+    from graph_slam_tpu.graph.ba_solve import _clip_nonpoint
+    from graph_slam_tpu.graph.variables import TangentLayout
+
+    lay = TangentLayout(pose_cap=2, vel_cap=2, bias_cap=1, plane_cap=1,
+                        point_cap=0)
+    dp = np.zeros(lay.point_off)
+    dp[lay.pose_off:lay.pose_off + 6] = 0.1          # pose 0: small
+    dp[lay.vel_off + 3:lay.vel_off + 6] = 100.0      # vel 1: huge
+    dp[lay.plane_off:lay.plane_off + 3] = 0.2        # plane 0: small
+    out = np.asarray(_clip_nonpoint(jnp.asarray(dp), lay, 1.0))
+    assert out.shape == dp.shape
+    # small rows pass through untouched
+    np.testing.assert_allclose(out[lay.pose_off:lay.pose_off + 6],
+                               dp[lay.pose_off:lay.pose_off + 6], rtol=1e-6)
+    np.testing.assert_allclose(out[lay.plane_off:lay.plane_off + 3],
+                               dp[lay.plane_off:lay.plane_off + 3],
+                               rtol=1e-6)
+    # the huge velocity row is clipped to unit norm ON ITS OWN 3 SLOTS
+    v = out[lay.vel_off + 3:lay.vel_off + 6]
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
+    # and vel 0 (all zero) stays zero
+    assert np.abs(out[lay.vel_off:lay.vel_off + 3]).max() == 0.0

@@ -89,3 +89,54 @@ class TestG2oSchedule:
         # the g2o-weighted graph (the soft I*1e-3 fake-odo edge leaves a
         # much smaller residual at the optimum than gtsam's stiff I*1e4)
         assert abs(r_g2o.error - 0.1673486302270372) < 1e-4 * 0.167
+
+
+class TestG2oAnchorPlacement:
+    def test_anchor_not_on_first_pose(self):
+        """lambda0 must exclude whichever pose carries the gauge prior —
+        not a hard-coded pose 0 (round-4 review). With the anchor on pose
+        5, lambda0 = tau * max_i H_ii over FREE slots stays ~O(edge info)
+        and the Nielsen schedule converges to the GTSAM-LM optimum."""
+        import np_lie
+        from graph_slam_tpu.graph import GraphBuilder
+
+        r = np.random.default_rng(7)
+        n, anchor = 24, 5
+        gt = []
+        for k in range(n):
+            ang = 2 * np.pi * k / n
+            R = np_lie.so3_exp([0.0, 0.0, ang])
+            t = np.array([np.cos(ang), np.sin(ang), 0.0])
+            gt.append((R, t))
+        b = GraphBuilder()
+        for k, (R, t) in enumerate(gt):
+            b.add_pose((R, t) if k == anchor
+                       else np_lie.retract((R, t), r.normal(size=6) * 0.3))
+        b.add_prior_pose(anchor, gt[anchor], sigmas=np.full(6, 1e-7))
+        info = np.diag([100.0] * 3 + [25.0] * 3)
+        for k in range(n - 1):
+            b.add_between(k, k + 1, np_lie.between(gt[k], gt[k + 1]),
+                          information=info)
+        b.add_between(n - 1, 0, np_lie.between(gt[n - 1], gt[0]),
+                      information=info)
+        graph, values = b.build(bucket=32)
+
+        res_g2o = lm_optimize_g2o(graph, values)
+        res_gt = lm_optimize(graph, values)
+        e_g2o, e_gt = float(res_g2o.error), float(res_gt.error)
+        # the old [:6] assumption left lambda0 ~1e7: every step rejected,
+        # chi2 barely moved. The derived mask must reach the optimum.
+        assert e_g2o <= (1.0 + 1e-6) * e_gt + 1e-9, (e_g2o, e_gt)
+
+    def test_run_pose_graph_honors_iteration_budget(self):
+        """backend='g2o' must honor the caller's lm_params.max_iterations
+        (round-4 review: it silently ignored lm_params entirely)."""
+        log = read_vro_log(os.path.join(HERE, "posegraph_vro.log"))
+        r4 = run_pose_graph(log, SlamParams(), bucket=64, backend="g2o",
+                            lm_params=LMParams(max_iterations=4))
+        assert r4.iterations == 4
+        r20 = run_pose_graph(log, SlamParams(), bucket=64, backend="g2o")
+        assert r20.iterations == 20
+        # 4 Nielsen iterations land short of the 20-iteration optimum or
+        # at it; either way the result must be a real descent
+        assert r4.error < r4.error0

@@ -139,3 +139,22 @@ class TestNativeCloudWriter:
         b, c = read_pcd(p)
         np.testing.assert_array_equal(np.float32(b), pts)
         assert c is None
+
+
+def test_stale_so_missing_symbol_degrades_to_fallback(monkeypatch):
+    """A cached .so predating a newly added symbol must degrade to the
+    Python fallbacks, not crash every IO path with AttributeError
+    (round-4 review: mtime-preserving installs defeat the freshness
+    check in _build)."""
+    import ctypes
+
+    class StaleLib:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(ctypes, "CDLL", lambda path: StaleLib())
+    assert native._load() is False
+    assert native.available() is False
+    # and the public reader still works through the Python fallback
+    assert native.parse_vro_log("/nonexistent") is None
