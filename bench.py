@@ -631,8 +631,69 @@ def bench_ba_sqrt(n_poses=100, n_points=10000, bucket=64, iters=8,
     return out
 
 
+def bench_multigraph(b=64, n_poses=250, iters=50, pcg_iters=10, n_calls=2):
+    """Fleet solving: B independent pose graphs in ONE fused program
+    (graph.batch.gn_optimize_many) — the TPU-native serving tier the
+    reference has no counterpart for (one estimator per process).
+
+    vmap gives the fleet K-fold arithmetic intensity per dispatch; on a
+    relay-attached device it also amortizes the ~180 ms/call overhead
+    across the whole fleet (the dominant serving win). Reports fleet
+    GN-iters/sec, the measured single-graph rate on the same shape, and
+    the dispatch-for-dispatch speedup.
+    """
+    from collections import namedtuple
+
+    from graph_slam_tpu.datasets import make_sphere_graph
+    from graph_slam_tpu.graph import (gn_optimize, gn_optimize_many,
+                                      stack_pytrees, total_error)
+
+    pairs = [make_sphere_graph(n_poses=n_poses, edges_per_pose=4.0, seed=s,
+                               dtype=jnp.float32, bucket=64)[:2]
+             for s in range(b)]
+    graphs = stack_pytrees([g for g, _ in pairs])
+    arenas = stack_pytrees([v for _, v in pairs])
+
+    def call(v):
+        return gn_optimize_many(graphs, v, iterations=iters, solver="pcg",
+                                damping=1e-3, pcg_iters=pcg_iters)
+
+    dt, res = _chained_time(call, arenas, n_calls=n_calls)
+    fleet_ips = b * iters * n_calls / dt
+
+    # single-graph rate on the SAME shape (chained, same convention)
+    def call1(v):
+        return gn_optimize(pairs[0][0], v, iterations=iters, solver="pcg",
+                           damping=1e-3, pcg_iters=pcg_iters)
+
+    dt1, res1 = _chained_time(call1, pairs[0][1], n_calls=n_calls)
+    single_ips = iters * n_calls / dt1
+
+    # chi2 sanity AFTER all timed sections (relay degradation rule)
+    errs = np.asarray(res.error)
+    e0s = np.array([float(total_error(g, v)) for g, v in pairs])
+    assert (errs < 0.1 * e0s).all(), "fleet GN failed to converge"
+    assert float(res1.error) < 0.1 * e0s[0]
+
+    flops_fleet_iter = sum(
+        _structural_flops_per_gn_iter(g, pcg_iters) for g, _ in pairs)
+    out = {"metric": f"fleet GN iterations/sec ({b} independent "
+                     f"{n_poses}-pose SE(3) graphs, PCG-{pcg_iters}, one "
+                     "fused vmap program)",
+           "unit": "graph-GN-iters/sec",
+           "value": round(fleet_ips, 1),
+           "graphs": b,
+           "single_graph_iters_per_sec": round(single_ips, 1),
+           "speedup_vs_serial_dispatch": round(fleet_ips / single_ips, 1),
+           "flops_per_fleet_iter_est": flops_fleet_iter,
+           "mfu_pct": round(100.0 * flops_fleet_iter * fleet_ips
+                            / b / PEAK_F32_FLOPS, 3)}
+    return out
+
+
 SECONDARY = {
     "ba_schur": bench_ba_schur,
+    "multigraph": bench_multigraph,
     "ba_sqrt": bench_ba_sqrt,
     # the MFU stress config (round-3 verdict ask #3): same exact sqrt-Schur
     # elimination, 10x the landmarks and 320 poses (Dp=1920) — the
@@ -868,10 +929,10 @@ def main():
                              "200-frame flagship config"}
     est_s = {"vio_planes_27k": 1500, "vio_planes": 900, "ba_schur": 500,
              "ba_sqrt": 350, "ba_sqrt_100k": 240, "chordal": 400,
-             "banded_direct": 300, "amortized": 300}
+             "banded_direct": 300, "amortized": 300, "multigraph": 300}
     caps = {"vio_planes_27k": 1900, "vio_planes": 1300, "ba_schur": 900,
             "ba_sqrt": 700, "ba_sqrt_100k": 900, "chordal": 800,
-            "banded_direct": 700, "amortized": 700}
+            "banded_direct": 700, "amortized": 700, "multigraph": 700}
     # CORE set = flagship (carries ate_rmse_m) + the MFU stress BA: sized
     # to finish ~25 min after the headline on a typical day. The extended
     # set runs only when the relay probe says the day is fast. Round 2
@@ -880,7 +941,7 @@ def main():
     names = [flagship, "ba_sqrt_100k"]
     total_budget = 1500.0
     if fast_day:
-        names += ["ba_schur", "chordal", "amortized"]
+        names += ["multigraph", "ba_schur", "chordal", "amortized"]
         total_budget = 2800.0
     for name in names:
         remaining = total_budget - (time.perf_counter() - t_budget)

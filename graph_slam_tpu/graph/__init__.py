@@ -2,6 +2,8 @@ from .variables import VariableArena, TangentLayout, layout_of, retract_all
 from .factors import FactorGraph, total_error, linearize_blocks, empty_graph
 from .builder import GraphBuilder, round_up
 from .banded import band_halfwidth, banded_gn_optimize
+from .batch import (gn_optimize_many, sharded_gn_many, solve_many,
+                    stack_pytrees, unstack_pytree)
 from .gnc import GncResult, gnc_optimize
 from .init import chordal_initialize, project_so3
 from .lm import LMParams, LMResult, lm_optimize, lm_optimize_g2o, gn_optimize
@@ -14,6 +16,8 @@ __all__ = [
     "FactorGraph", "total_error", "linearize_blocks", "empty_graph",
     "GraphBuilder", "round_up",
     "LMParams", "LMResult", "lm_optimize", "lm_optimize_g2o", "gn_optimize",
+    "gn_optimize_many", "solve_many", "sharded_gn_many",
+    "stack_pytrees", "unstack_pytree",
     "band_halfwidth", "banded_gn_optimize",
     "chordal_initialize", "project_so3",
     "GncResult", "gnc_optimize",
