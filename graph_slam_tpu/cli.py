@@ -87,7 +87,9 @@ def cmd_posegraph(args):
     # weighting (gtsam I*1e4 vs g2o I*1e-3, g2o_graph.cpp:151)
     backend = args.backend or preset.get("backend", "gtsam")
     res = run_pose_graph(log, params, u2c=u2c, backend=backend,
-                         init=getattr(args, "init", "odometry"))
+                         init=getattr(args, "init", "odometry"),
+                         loop_gate=getattr(args, "loop_gate", "none")
+                         or "none")
     print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
           f"({res.iterations} LM iterations, {len(res.seq_ids)} nodes)")
     os.makedirs(args.out_dir, exist_ok=True)
@@ -426,7 +428,9 @@ def cmd_g2o(args):
               f"{len(res.seq_ids)} vertices)")
     else:
         res = run_g2o_file(args.input, LMParams(),
-                           init=getattr(args, "init", "odometry"))
+                           init=getattr(args, "init", "odometry"),
+                           loop_gate=getattr(args, "loop_gate", "none")
+                           or "none")
         print(f"chi2: {res.error0:.6f} -> {res.error:.6f} "
               f"({res.iterations} LM iterations, "
               f"{len(res.seq_ids)} vertices)")
@@ -1048,6 +1052,11 @@ def build_parser():
                    help="robust edge handling: per-row Huber kernel or "
                         "graduated non-convexity over loop closures "
                         "(overrides the config's)")
+    s.add_argument("--loop-gate", choices=["none", "pcm"], default="none",
+                   dest="loop_gate",
+                   help="pre-optimization loop-closure gating: pcm keeps "
+                        "only the maximum pairwise-consistent set "
+                        "(composes with --robust)")
     s.set_defaults(fn=cmd_posegraph)
 
     s = sub.add_parser("vio", help="plane-aided VIO replay (VRO + IMU)")
@@ -1149,6 +1158,11 @@ def build_parser():
                    default="odometry",
                    help="chordal = rotation-averaging initialization "
                         "before the solve")
+    s.add_argument("--loop-gate", choices=["none", "pcm"], default="none",
+                   dest="loop_gate",
+                   help="pcm keeps only the maximum pairwise-consistent "
+                        "loop-closure set before the solve (single-device "
+                        "path)")
     s.set_defaults(fn=cmd_g2o)
 
     s = sub.add_parser("map", help="trajectory + frames -> PCD/PLY map")

@@ -6,6 +6,8 @@ from .batch import (gn_optimize_many, sharded_gn_many, solve_many,
                     stack_pytrees, unstack_pytree)
 from .gnc import GncResult, gnc_optimize
 from .init import chordal_initialize, project_so3
+from .pcm import (PcmResult, max_clique, odometry_consistency,
+                  pairwise_consistency, pcm_mask)
 from .lm import LMParams, LMResult, lm_optimize, lm_optimize_g2o, gn_optimize
 from .marginals import (joint_marginal, plane_marginal, pose_marginal,
                         pose_marginals_all)
@@ -21,6 +23,8 @@ __all__ = [
     "band_halfwidth", "banded_gn_optimize",
     "chordal_initialize", "project_so3",
     "GncResult", "gnc_optimize",
+    "PcmResult", "pcm_mask", "pairwise_consistency",
+    "odometry_consistency", "max_clique",
     "IncrementalOptimizer", "OnlineGraph",
     "pose_marginal", "plane_marginal", "joint_marginal",
     "pose_marginals_all",

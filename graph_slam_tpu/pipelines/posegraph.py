@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ..config import SlamParams
 from ..core import se3, so3
 from ..graph import (GraphBuilder, LMParams, chordal_initialize, gn_optimize,
-                     gnc_optimize, lm_optimize, lm_optimize_g2o, total_error)
+                     gnc_optimize, lm_optimize, lm_optimize_g2o, pcm_mask,
+                     total_error)
 from ..io.vro_log import FAILED_INFO_SENTINEL, VROLog
 
 __all__ = ["PoseGraphResult", "build_pose_graph", "run_pose_graph",
@@ -140,9 +141,20 @@ def run_pose_graph(log: VROLog, params: SlamParams = SlamParams(),
                    lm_params: LMParams = LMParams(),
                    bucket: int = 256,
                    backend: str = "gtsam",
-                   init: str = "odometry") -> PoseGraphResult:
+                   init: str = "odometry",
+                   loop_gate: str = "none") -> PoseGraphResult:
     graph, values, seq_ids = build_pose_graph(log, params, u2c, bucket=bucket,
                                               backend=backend)
+    if loop_gate == "pcm":
+        # pairwise-consistency gate BEFORE any initialization/optimization:
+        # both chordal init and the convex GNC stage are corruptible by a
+        # gross outlier that PCM removes outright (graph/pcm.py)
+        bt = graph.between
+        pres = pcm_mask(graph, values)
+        graph = graph._replace(between=bt._replace(
+            active=bt.active & jnp.asarray(pres.accepted)))
+    elif loop_gate != "none":
+        raise ValueError(f"unknown loop_gate {loop_gate!r} (none|pcm)")
     e0 = float(total_error(graph, values))
     if init == "chordal":
         values = chordal_initialize(graph, values)
@@ -212,12 +224,24 @@ def build_graph_from_g2o(vertices: dict, edges: list, bucket: int = 256):
 
 
 def run_g2o_file(path: str, lm_params: LMParams = LMParams(),
-                 bucket: int = 256, init: str = "odometry") -> PoseGraphResult:
-    """Read a .g2o pose graph, optimize, return the result."""
+                 bucket: int = 256, init: str = "odometry",
+                 loop_gate: str = "none") -> PoseGraphResult:
+    """Read a .g2o pose graph, optimize, return the result.
+
+    ``loop_gate="pcm"`` gates non-consecutive edges by pairwise
+    consistency against the file's initial estimate before optimizing.
+    """
     from ..io import read_g2o
 
     vertices, edges = read_g2o(path)
     graph, values, ids = build_graph_from_g2o(vertices, edges, bucket=bucket)
+    if loop_gate == "pcm":
+        bt = graph.between
+        pres = pcm_mask(graph, values)
+        graph = graph._replace(between=bt._replace(
+            active=bt.active & jnp.asarray(pres.accepted)))
+    elif loop_gate != "none":
+        raise ValueError(f"unknown loop_gate {loop_gate!r} (none|pcm)")
     e0 = float(total_error(graph, values))
     if init == "chordal":
         values = chordal_initialize(graph, values)
