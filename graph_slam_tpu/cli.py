@@ -441,6 +441,49 @@ def cmd_g2o(args):
     print(f"wrote {args.out_dir}/trajectory.log")
 
 
+def cmd_sparsify(args):
+    """Pose-graph maintenance: optimize, marginalize poses out, write the
+    Chow-Liu-sparsified graph (graph/sparsify.py; no reference
+    counterpart — the reference can only avoid creating nodes)."""
+    import numpy as np
+
+    from .core import so3
+    from .graph import gn_optimize, marginalize_poses, total_error
+    from .io import read_vro_log, write_g2o, write_trajectory
+    from .pipelines import run_pose_graph, trajectory_arrays
+
+    params = _load_params(args)
+    log = read_vro_log(args.vro)
+    res = run_pose_graph(log, params)
+    n = len(res.seq_ids)
+    if args.drop:
+        drop = sorted({int(x) for x in args.drop.split(",")})
+    else:
+        k = max(2, args.keep_every)
+        drop = [i for i in range(n) if i % k]
+    g2, v2, old2new = marginalize_poses(res.graph, res.values, drop)
+    out = gn_optimize(g2, v2, iterations=10)
+    keep = np.array(sorted(old2new))
+    n_fac0 = int(np.asarray(res.graph.between.active).sum())
+    n_fac1 = int(np.asarray(g2.between.active).sum())
+    print(f"poses {n} -> {len(keep)}, between factors {n_fac0} -> {n_fac1}, "
+          f"chi2 {float(total_error(g2, v2)):.6f} -> {float(out.error):.6f}")
+    os.makedirs(args.out_dir, exist_ok=True)
+    ids, t, q, seq = trajectory_arrays(out.values, res.seq_ids[keep])
+    write_trajectory(os.path.join(args.out_dir, "trajectory.log"),
+                     ids, t, q, seq)
+    bt = g2.between
+    act = np.flatnonzero(np.asarray(bt.active))
+    S = np.asarray(bt.sqrt_info)[act]
+    infos = np.einsum("lki,lkj->lij", S, S)
+    qm = np.asarray(so3.matrix_to_quat(bt.meas_R))[act]
+    edges = [(int(np.asarray(bt.i)[e]), int(np.asarray(bt.j)[e]),
+              np.asarray(bt.meas_t)[e], qm[w], infos[w])
+             for w, e in enumerate(act)]
+    write_g2o(os.path.join(args.out_dir, "sparsified.g2o"), t, q, edges)
+    print(f"wrote {args.out_dir}/trajectory.log, sparsified.g2o")
+
+
 def cmd_map(args):
     from .core import extrinsics
     from .io import open_frame_source, read_trajectory, write_ply_points
@@ -1164,6 +1207,21 @@ def build_parser():
                         "loop-closure set before the solve (single-device "
                         "path)")
     s.set_defaults(fn=cmd_g2o)
+
+    s = sub.add_parser("sparsify",
+                       help="graph maintenance: marginalize poses, replace "
+                            "eliminated cliques with Chow-Liu trees")
+    s.add_argument("--vro", required=True)
+    s.add_argument("--out-dir", default="out")
+    s.add_argument("--config",
+                   help="JSON SlamParams overrides: a file path or a "
+                        "shipped preset name")
+    s.add_argument("--keep-every", type=int, default=2, dest="keep_every",
+                   help="keep every K-th pose (anchored pose 0 always kept)")
+    s.add_argument("--drop",
+                   help="explicit comma-separated pose ids to remove "
+                        "(overrides --keep-every)")
+    s.set_defaults(fn=cmd_sparsify)
 
     s = sub.add_parser("map", help="trajectory + frames -> PCD/PLY map")
     s.add_argument("--traj", required=True)

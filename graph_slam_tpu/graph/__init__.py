@@ -8,6 +8,7 @@ from .gnc import GncResult, gnc_optimize
 from .init import chordal_initialize, project_so3
 from .pcm import (PcmResult, max_clique, odometry_consistency,
                   pairwise_consistency, pcm_mask)
+from .sparsify import chow_liu_tree, marginalize_poses
 from .lm import LMParams, LMResult, lm_optimize, lm_optimize_g2o, gn_optimize
 from .marginals import (joint_marginal, plane_marginal, pose_marginal,
                         pose_marginals_all)
@@ -25,6 +26,7 @@ __all__ = [
     "GncResult", "gnc_optimize",
     "PcmResult", "pcm_mask", "pairwise_consistency",
     "odometry_consistency", "max_clique",
+    "marginalize_poses", "chow_liu_tree",
     "IncrementalOptimizer", "OnlineGraph",
     "pose_marginal", "plane_marginal", "joint_marginal",
     "pose_marginals_all",

@@ -186,12 +186,19 @@ def max_clique(adj: np.ndarray, budget: int = 200_000) -> list[int]:
     clique found so far is returned (still a valid consistent set,
     possibly sub-maximum).
     """
+    import sys
+
     n = adj.shape[0]
     if n == 0:
         return []
     nbrs = [set(np.flatnonzero(adj[k]).tolist()) - {k} for k in range(n)]
     best: list[int] = _greedy_clique(adj)
     spent = 0
+    # recursion depth is bounded by the deepest descent (≤ n on
+    # near-complete graphs); keep headroom beyond Python's default 1000
+    limit = sys.getrecursionlimit()
+    if n + 100 > limit:
+        sys.setrecursionlimit(n + 1000)
 
     def bk(R: list[int], P: set, X: set) -> None:
         nonlocal best, spent

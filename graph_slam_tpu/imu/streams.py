@@ -55,10 +55,22 @@ class ImuStream:
         return self.acc[lo:hi], self.gyr[lo:hi]
 
 
+def _load_table(path: str, n_cols: int) -> np.ndarray:
+    """Numeric-table load through the native runtime (readImuData role,
+    imu_vn100.cpp:78-105 — ~1M lines at the 27k-frame budget), Python
+    fallback when the toolchain is unavailable."""
+    from .. import native
+
+    data = native.parse_table(path, n_cols)
+    if data is None:
+        data = np.loadtxt(path)
+        if data.ndim == 1:
+            data = data[None, :]
+    return data
+
+
 def read_vn100_log(path: str) -> ImuStream:
-    data = np.loadtxt(path)
-    if data.ndim == 1:
-        data = data[None, :]
+    data = _load_table(path, 10)
     t = data[:, 0]
     acc = data[:, 1:4]
     gyr = data[:, 4:7]
@@ -68,9 +80,7 @@ def read_vn100_log(path: str) -> ImuStream:
 
 def read_mems_log(path: str, dt: float = 0.01) -> ImuStream:
     """Raw integer MEMS log: columns ``frame_id gx gy gz ax ay az`` (LSB)."""
-    data = np.loadtxt(path)
-    if data.ndim == 1:
-        data = data[None, :]
+    data = _load_table(path, 7)
     frame_id = data[:, 0]
     gyr = mems_gyro_lsb_to_rad(data[:, 1:4])
     acc = mems_accel_lsb_to_ms2(data[:, 4:7])

@@ -54,6 +54,15 @@ def write_trajectory(path: str, ids, t, quat_wxyz, seq) -> None:
 
 
 def read_trajectory(path: str) -> Trajectory:
+    """``id x y z qx qy qz qw sid`` lines (readTraj,
+    mapping_PCD.cpp:184-206) — native table parse with Python fallback."""
+    from .. import native
+
+    data = native.parse_table(path, 9)
+    if data is not None:
+        q = data[:, 4:8]
+        return Trajectory(data[:, 0].astype(int), data[:, 1:4],
+                          q[:, [3, 0, 1, 2]], data[:, 8].astype(int))
     ids, ts, qs, seqs = [], [], [], []
     with open(path) as f:
         for line in f:

@@ -14,7 +14,7 @@ import tempfile
 
 import numpy as np
 
-__all__ = ["available", "parse_vro_log", "write_vro_log",
+__all__ = ["available", "parse_vro_log", "write_vro_log", "parse_table",
            "read_frame_u16", "read_frames_u16", "write_cloud_ascii"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -65,6 +65,10 @@ def _bind(lib) -> None:
     lib.gst_write_vro_log.restype = ctypes.c_long
     lib.gst_write_vro_log.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long]
+    lib.gst_parse_table.restype = ctypes.c_long
+    lib.gst_parse_table.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+        ctypes.c_long]
     lib.gst_read_frame_u16.restype = ctypes.c_long
     lib.gst_read_frame_u16.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
@@ -97,6 +101,28 @@ def parse_vro_log(path: str, max_records: int = 1 << 22):
     n = lib.gst_parse_vro_log(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         cap)
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def parse_table(path: str, n_cols: int, max_rows: int = 1 << 24):
+    """(n, n_cols) float64 table parsed line-by-line (each line's first
+    ``n_cols`` numbers; shorter lines skipped), or None if native
+    unavailable. The trajectory-log / IMU-log reader (readTraj,
+    readImuData roles)."""
+    lib = _load()
+    if not lib:
+        return None
+    try:
+        # a minimal row is ~2 chars per number ("0 ") plus the newline
+        cap = min(max_rows, max(os.path.getsize(path) // (2 * n_cols), 1))
+    except OSError:
+        return None
+    out = np.empty((cap, n_cols), np.float64)
+    n = lib.gst_parse_table(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_cols, cap)
     if n < 0:
         return None
     return out[:n]

@@ -141,6 +141,71 @@ class TestNativeCloudWriter:
         assert c is None
 
 
+class TestNativeTableParser:
+    """native.parse_table (readTraj / readImuData roles): line-based
+    numeric-table parse must match the Python readers exactly."""
+
+    def test_trajectory_roundtrip_both_paths(self, tmp_path, monkeypatch):
+        from graph_slam_tpu.io import read_trajectory, write_trajectory
+
+        r = np.random.default_rng(4)
+        n = 64
+        t = r.normal(size=(n, 3))
+        q = r.normal(size=(n, 4))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)   # stored wxyz
+        ids = np.arange(n)
+        seq = np.arange(0, 2 * n, 2)
+        p = str(tmp_path / "traj.log")
+        write_trajectory(p, ids, t, q, seq)
+
+        nat = read_trajectory(p)
+        monkeypatch.setattr(native, "parse_table", lambda *a, **k: None)
+        py = read_trajectory(p)
+        np.testing.assert_array_equal(nat.ids, py.ids)
+        np.testing.assert_array_equal(nat.t, py.t)
+        np.testing.assert_array_equal(nat.quat, py.quat)
+        np.testing.assert_array_equal(nat.seq, py.seq)
+        np.testing.assert_allclose(nat.t, t, rtol=0, atol=0)
+        np.testing.assert_allclose(nat.quat, q, rtol=0, atol=0)
+
+    def test_skips_short_and_comment_lines(self, tmp_path):
+        p = str(tmp_path / "t.txt")
+        with open(p, "w") as f:
+            f.write("# a comment line\n")
+            f.write("1 2 3\n")            # short: skipped
+            f.write("1 2 3 4 5\n")
+            f.write("\n")
+            f.write("6 7 8 9 10 extra-text\n")   # first 5 numbers taken
+        rows = native.parse_table(p, 5)
+        assert rows is not None
+        np.testing.assert_array_equal(
+            rows, [[1, 2, 3, 4, 5], [6, 7, 8, 9, 10]])
+
+    def test_imu_log_parity_with_loadtxt(self, tmp_path, monkeypatch):
+        from graph_slam_tpu.imu import read_mems_log, read_vn100_log
+
+        r = np.random.default_rng(5)
+        vn = r.normal(size=(40, 10))
+        p = str(tmp_path / "vn100.log")
+        np.savetxt(p, vn)
+        s_nat = read_vn100_log(p)
+
+        mems = np.column_stack([np.arange(30) % 16,
+                                r.integers(-500, 500, (30, 6))])
+        pm = str(tmp_path / "mems.log")
+        np.savetxt(pm, mems)
+        m_nat = read_mems_log(pm)
+
+        monkeypatch.setattr(native, "parse_table", lambda *a, **k: None)
+        s_py = read_vn100_log(p)
+        m_py = read_mems_log(pm)
+        for a, b in [(s_nat.t, s_py.t), (s_nat.acc, s_py.acc),
+                     (s_nat.gyr, s_py.gyr), (s_nat.rpy, s_py.rpy),
+                     (m_nat.acc, m_py.acc), (m_nat.gyr, m_py.gyr)]:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert m_nat.start == m_py.start
+
+
 def test_stale_so_missing_symbol_degrades_to_fallback(monkeypatch):
     """A cached .so predating a newly added symbol must degrade to the
     Python fallbacks, not crash every IO path with AttributeError
