@@ -251,7 +251,8 @@ def _eliminate3(M):
 
 def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
                         obs_idx, obs_valid, prior_row, prior_valid,
-                        q_ids, damping, chunk: int):
+                        q_ids, damping, chunk: int,
+                        assembly_precision=None):
     """Per-landmark QR elimination + chunked dense reduction.
 
     ``q_ids`` are the GLOBAL landmark indices of these table rows (just
@@ -259,6 +260,15 @@ def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
     Returns the landmark-partial ``(S, g)`` (no damping/priors/non-point
     terms — callers psum then add those once) plus the back-substitution
     pieces ``(R3, E, c1, cp_flat, live)``.
+
+    ``assembly_precision`` overrides the matmul precision of the reduced-
+    system accumulation ONLY (the ``S = d2^T d2`` outer products and the
+    one-hot column relocation feeding them). The summands are orthogonally
+    reduced rows — a PSD accumulation with no cancellation — so bf16x3
+    (``"high"``) keeps the GN optimum while roughly doubling MXU
+    throughput vs the package-default multi-pass f32 (``"highest"``);
+    ``None`` inherits the global default. Per-landmark QR, residuals and
+    the reduced Cholesky always stay at the default precision.
     """
     Dp = lay.point_off
     dt = values.pose_t.dtype
@@ -328,15 +338,18 @@ def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
     else:
         red_pose_c, red_rhs_c, cp_c = red_pose, red_rhs, cp_flat
 
+    prec = assembly_precision
+
     def chunk_S(pp, rr, cols):
         # local->global column mapping as a one-hot MATMUL, not a scatter
         # (TPU scatters serialize; this is an MXU op). Duplicate pose
         # columns within one landmark still SUM through the one-hot.
         onehot = (cols[:, :, None]
                   == jnp.arange(Dp)[None, None, :]).astype(dt)
-        dense = jnp.einsum("crk,ckd->crd", pp, onehot)
+        dense = jnp.einsum("crk,ckd->crd", pp, onehot, precision=prec)
         d2 = dense.reshape(C * nred, Dp)
-        return d2.T @ d2, d2.T @ rr.reshape(-1)
+        return (jnp.matmul(d2.T, d2, precision=prec),
+                jnp.matmul(d2.T, rr.reshape(-1), precision=prec))
 
     pose_ch = red_pose_c.reshape(n_chunks, C, nred, nloc)
     rhs_ch = red_rhs_c.reshape(n_chunks, C, nred)
@@ -423,7 +436,8 @@ def _clip_nonpoint(dp, lay, max_norm):
 
 def sqrt_schur_gn_step(graph: FactorGraph, values: VariableArena,
                        obs_idx, obs_valid, prior_row, prior_valid,
-                       damping, chunk: int = 2048, step_clip=None):
+                       damping, chunk: int = 2048, step_clip=None,
+                       assembly_precision=None):
     """One damped GN step via per-landmark QR elimination (f32-stable).
 
     ``step_clip`` (meters/radians) is a per-variable trust region on the
@@ -438,8 +452,21 @@ def sqrt_schur_gn_step(graph: FactorGraph, values: VariableArena,
     Pq = obs_idx.shape[0]
     (S, g), back = _landmark_qr_reduce(
         graph, values, lay, obs_idx, obs_valid, prior_row, prior_valid,
-        jnp.arange(Pq), damping, chunk)
+        jnp.arange(Pq), damping, chunk,
+        assembly_precision=assembly_precision)
     S, g = _add_nonpoint_and_base(graph, values, lay, S, g, damping)
+    if assembly_precision is not None:
+        # reduced-precision assembly carries a ~5e-7-relative error floor;
+        # on a cond~1e13 reduced system that floor exceeds the smallest
+        # eigenvalues and the Cholesky goes indefinite -> NaN (measured on
+        # the 100k-landmark config, 2026-08-20). A Marquardt-style jitter
+        # at 5e-5 of EACH diagonal entry dominates the floor in the scaled
+        # system D^-1/2 S D^-1/2 (error entries are <= eps by
+        # Cauchy-Schwarz) while perturbing every row only at 5e-5
+        # relative. Scaling by max-diag instead is wrong here: anchor
+        # priors put ~1e12 on their rows and the uniform jitter that
+        # implies crushes the data rows (~1e4) outright.
+        S = S + 5e-5 * jnp.diag(jnp.diagonal(S))
     dp = _solve_reduced(S, g)
     dq = _backsub_points(*back, dp).reshape(-1)
     if step_clip is not None:
@@ -450,7 +477,8 @@ def sqrt_schur_gn_step(graph: FactorGraph, values: VariableArena,
 
 def ba_gn_optimize_sqrt(graph: FactorGraph, values: VariableArena,
                         iterations: int = 8, damping: float = 1e-6,
-                        chunk: int = 2048, step_clip=None):
+                        chunk: int = 2048, step_clip=None,
+                        assembly_precision=None):
     """GN with square-root (QR) Schur elimination, fixed trip count.
 
     The f32-stable TPU path: builds the host-side observation tables once
@@ -465,19 +493,22 @@ def ba_gn_optimize_sqrt(graph: FactorGraph, values: VariableArena,
                         iterations=iterations, damping=float(damping),
                         chunk=int(chunk),
                         step_clip=None if step_clip is None
-                        else float(step_clip))
+                        else float(step_clip),
+                        assembly_precision=assembly_precision)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("iterations", "damping", "chunk",
-                                    "step_clip"))
+                                    "step_clip", "assembly_precision"))
 def _ba_sqrt_jit(graph, values, obs_idx, obs_valid, prior_row, prior_valid,
-                 iterations, damping, chunk, step_clip=None):
+                 iterations, damping, chunk, step_clip=None,
+                 assembly_precision=None):
     def body(vals, _):
         return sqrt_schur_gn_step(
             graph, vals, obs_idx, obs_valid, prior_row, prior_valid,
             jnp.asarray(damping, vals.pose_t.dtype), chunk=chunk,
-            step_clip=step_clip), None
+            step_clip=step_clip,
+            assembly_precision=assembly_precision), None
 
     values, _ = jax.lax.scan(body, values, None, length=iterations)
     return values, total_error(graph, values)

@@ -59,9 +59,20 @@ def uncalibrate(K: Cal3DS2, p):
 
 def project_point(K: Cal3DS2, p_cam):
     """Camera-frame 3D point -> pixel. Guards the z<=0 singularity with a
-    clamp so autodiff stays finite (the factor masks cheirality failures)."""
+    clamp so autodiff stays finite (the factor masks cheirality failures).
+
+    The normalized radius is additionally clamped to 100 (any physical
+    FOV is < ~10): with only the z clamp, a point driven behind a camera
+    by one bad GN step projects to ~1e6-scale normalized coords whose
+    r^4 radial term overflows f32 — inf enters the Jacobians, the reduced
+    system Cholesky turns NaN, and the whole solve is poisoned
+    unrecoverably. Bounded-but-huge residuals instead let the next damped
+    iteration pull the point back (observed on the 100k-landmark
+    sqrt-Schur config, 2026-08-20)."""
     p_cam = jnp.asarray(p_cam)
     z = p_cam[..., 2]
     z_safe = jnp.where(z > 1e-6, z, 1e-6)
     n = p_cam[..., :2] / z_safe[..., None]
+    rad = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n * jnp.minimum(1.0, 100.0 / jnp.maximum(rad, 1e-30))
     return uncalibrate(K, n)

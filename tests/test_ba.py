@@ -182,6 +182,31 @@ class TestSqrtSchur:
             np.testing.assert_allclose(np.asarray(vals.pose_t[k]), ts[k],
                                        atol=1e-2)
 
+    def test_sqrt_schur_reduced_precision_jitter_converges(self):
+        """assembly_precision != None switches the S-assembly matmuls to a
+        reduced pass count AND adds a 5e-5 per-entry diagonal jitter (on
+        TPU the jitter is what keeps the cond~1e13 reduced Cholesky PSD
+        under bf16x3 assembly error — measured NaN without it,
+        2026-08-20). On CPU the precision hint is a no-op but the jitter
+        path is live: convergence and the recovered trajectory must match
+        the exact path, pinning that the jitter is a perturbation, not a
+        behavior change."""
+        from graph_slam_tpu.graph.ba_solve import ba_gn_optimize_sqrt
+        from graph_slam_tpu.datasets import make_ba_graph
+
+        graph, values, (gt_poses, _) = make_ba_graph(
+            n_poses=10, n_points=300, obs_per_point=4, seed=5,
+            pixel_noise=0.0, dtype=jnp.float32, bucket=32)
+        e0 = float(total_error(graph, values))
+        vals, err = ba_gn_optimize_sqrt(graph, values, iterations=8,
+                                        damping=1e-4, chunk=128,
+                                        assembly_precision="high")
+        assert float(err) < 1e-3 * e0, (e0, float(err))
+        _, ts = gt_poses
+        for k in range(10):
+            np.testing.assert_allclose(np.asarray(vals.pose_t[k]), ts[k],
+                                       atol=1e-2)
+
     def test_sqrt_schur_with_point_priors_and_imu_tables(self):
         """Mixed graph (the two-frame-BA shape, gtsam_graph.cpp:500-610):
         point priors ride the landmark QR stack; pose priors/between ride

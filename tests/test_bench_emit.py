@@ -110,6 +110,11 @@ def _tiny_main(monkeypatch, tmp_path):
         "ba_sqrt_100k": {"metric": "b", "value": 638.5, "unit": "ms/iter",
                          "mfu_pct": 12.9, "mfu_pct_xla": 12.7,
                          "flops_per_iter_est": 8.1e12},
+        # canned from the 2026-08-20 v5e capture (jittered bf16x3 assembly)
+        "ba_sqrt_100k_bf16x3": {"metric": "b3", "value": 499.4,
+                                "unit": "ms/iter", "mfu_pct": 16.5,
+                                "chi2_final": 210719.4,
+                                "assembly_precision": "high"},
         "multigraph": {"metric": "g", "value": 14284.0,
                        "unit": "graph-GN-iters/sec",
                        "speedup_vs_serial_dispatch": 60.2},
@@ -141,8 +146,12 @@ def test_main_tail_always_parses(_tiny_main, capsys):
     assert ex["flagship_fps"] == 300.0
     assert ex["flagship_ate_rmse_m"] == 0.0103
     assert ex["ba_sqrt_100k_mfu_pct"] == 12.9
-    assert ex["best_mfu_pct"] == 12.9
-    assert ex["best_mfu_config"] == "ba_sqrt_100k"
+    # the converged bf16x3 variant wins the best-MFU slot, and its chi2
+    # parity evidence rides along in the compact line
+    assert ex["ba_sqrt_100k_bf16x3_mfu_pct"] == 16.5
+    assert ex["ba_sqrt_100k_bf16x3_chi2_final"] == 210719.4
+    assert ex["best_mfu_pct"] == 16.5
+    assert ex["best_mfu_config"] == "ba_sqrt_100k_bf16x3"
     assert "mfu" not in json.dumps(
         {k: v for k, v in ex.items() if "multigraph" in k}).lower()
     assert ex["total_wall_s"] >= 0
@@ -183,3 +192,31 @@ def test_main_convergence_failure_emits_before_dying(_tiny_main, capsys,
     assert final is not None
     assert "headline_convergence_error" in final["extra"]
     assert final["value"] > 0          # the measured rate still ships
+
+
+def test_error_tagged_secondary_never_takes_best_mfu(_tiny_main, capsys):
+    # a non-converged run still reports its (real) timing-derived mfu_pct,
+    # but a secondary carrying an "error" tag must never claim the
+    # best-MFU slot in the compact line
+    calls, _ = _tiny_main
+    poisoned = {
+        "metric": "b3", "value": 400.0, "unit": "ms/iter",
+        "mfu_pct": 20.0, "chi2_final": float("nan"),
+        "error": "sqrt-Schur failed to converge: 2.2e9 -> nan"}
+
+    real = bench._run_secondary
+
+    def fake(name, timeout=600):
+        if name == "ba_sqrt_100k_bf16x3":
+            return poisoned
+        return real(name, timeout=timeout)
+
+    bench._run_secondary = fake
+    try:
+        bench.main()
+    finally:
+        bench._run_secondary = real
+    final = _parse_tail(capsys.readouterr().out)
+    assert final["extra"]["best_mfu_config"] == "ba_sqrt_100k"
+    assert final["extra"]["best_mfu_pct"] == 12.9
+    assert "error" in final["extra"]["ba_sqrt_100k_bf16x3_status"]
