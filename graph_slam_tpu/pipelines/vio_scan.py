@@ -224,8 +224,12 @@ def _run_vio_scan(log: VROLog, t_of, imu: ImuStream,
 
     n_frames = len(seq_ids)
     P = round_up(n_frames, 8)
-    imu_cap = n_imu_rows + 1         # +1 reserved dummy slot
-    between_cap = len(rows) + 1      # +1 reserved dummy slot (chunk pads)
+    # +1 reserved dummy slot, then rounded to a bucket of 8: the compiled
+    # replay program is keyed on these table shapes, so exact caps force a
+    # fresh multi-second XLA compile for every slightly-different log
+    # length; padded rows are never written and stay inactive
+    imu_cap = round_up(n_imu_rows + 1, 8)
+    between_cap = round_up(len(rows) + 1, 8)
     dummy_slot = imu_cap - 1
     dummy_bt = between_cap - 1
 

@@ -77,8 +77,11 @@ class TestScanPlaneRescue:
         from test_plane_node import (FAILED_INFO_SENTINEL, K,
                                      simulate_frames)
 
+        # n_frames matches the other tests in this class so the compiled
+        # scan/rescue programs (keyed on the padded table shapes) are
+        # reused across the module instead of recompiling per test
         log, img_times, stream, params, X, frames = simulate_frames(
-            n_frames=9, fail_frame=4)
+            n_frames=8, fail_frame=4)
         # mark frame 5's record failed as well -> adjacent rescues
         k = int(np.flatnonzero(np.asarray(log.id_to) == 5)[0])
         log.xi[k] = 0.0

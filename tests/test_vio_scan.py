@@ -87,9 +87,12 @@ def test_scan_matches_online_engine(window):
 
 
 def test_scan_accuracy_against_ground_truth():
-    log, times, stream, params, X = synth_sequence(n_frames=60)
+    # default scenario + window=12: identical padded table shapes to
+    # test_scan_matches_online_engine[12], so the compiled replay program
+    # is reused (optimize_step is data, not a compile key)
+    log, times, stream, params, X = synth_sequence()
     cfg = VioConfig(engine="scan", plane_mode="off", optimize_step=5,
-                    max_imu_window=32, bucket=64, window=16,
+                    max_imu_window=32, bucket=64, window=12,
                     final_batch=True)
     res = run_vio(log, times, stream, params, cfg=cfg)
     gt_t = np.stack([np.asarray(x.t) for x in X])
@@ -101,13 +104,15 @@ def test_scan_accuracy_against_ground_truth():
 
 
 def test_scan_failed_edge_is_inactive_and_imu_carries():
-    log, times, stream, params, X = synth_sequence(fail_at=(5,),
-                                                   loop_pairs=())
+    # keep the default loop pair so the record count (and thus the padded
+    # table shapes keying the compiled replay) matches the other tests
+    log, times, stream, params, X = synth_sequence(fail_at=(5,))
     cfg = VioConfig(engine="scan", plane_mode="off", optimize_step=10,
                     max_imu_window=32, bucket=64, final_batch=False)
     res = run_vio(log, times, stream, params, cfg=cfg)
-    # one VO edge lost to the sentinel, every frame still has an IMU factor
-    assert res.n_vo_edges == len(res.seq_ids) - 2
+    # one VO edge lost to the sentinel (the loop closure adds one back),
+    # every frame still has an IMU factor
+    assert res.n_vo_edges == len(res.seq_ids) - 1
     assert res.n_imu_factors == len(res.seq_ids) - 1
     # the pose at the failed frame comes from the IMU prediction: near GT
     gt_t = np.stack([np.asarray(x.t) for x in X])
@@ -136,8 +141,10 @@ def test_scan_failed_loop_closure_parity():
     """A sentinel-FAILED loop closure must be skipped entirely (no row, no
     optimize-cadence trigger), exactly like the per-frame engines — a
     divergence here shifted the optimize schedule by one record."""
-    log, times, stream, params, X = synth_sequence(
-        n_frames=22, fail_at=(), loop_pairs=())
+    # default frame count/loop pair: the appended FAILED loop closure is
+    # skipped from the record list, so the padded table shapes match the
+    # other tests' and the compiled replay is reused
+    log, times, stream, params, X = synth_sequence(fail_at=())
     # append a failed loop closure right at an optimize boundary
     from graph_slam_tpu.io.vro_log import failed_edge
     a, b, x, inf = failed_edge(19, 9)
