@@ -654,9 +654,12 @@ def bench_ba_sqrt(n_poses=100, n_points=10000, bucket=64, iters=8,
         out["error"] = f"sqrt-Schur failed to converge: {e0} -> {ef}"
 
     # structural FLOPs: S-assembly matmuls 2*(Pq*nred)*Dp^2 dominate;
-    # per-landmark QR ~2*n^2*m; reduced Cholesky Dp^3/3
+    # per-landmark QR ~2*n^2*m; reduced Cholesky Dp^3/3. nred = 2K:
+    # landmark priors + damping rows merge exactly into the kept 3-row
+    # block (closed-form 3x3 Cholesky), so only the observation rows
+    # survive into the reduced assembly
     Pq, K = int(tabs[0].shape[0]), int(tabs[0].shape[1])
-    nred, n = 2 * K + 3, 6 * K + 4
+    nred, n = 2 * K, 6 * K + 4
     Dp = lay.point_off
     flops_iter = (2 * Pq * nred * Dp * Dp
                   + Pq * 2 * n * n * (2 * K + 6)

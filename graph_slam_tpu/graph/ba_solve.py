@@ -165,14 +165,18 @@ def ba_gn_optimize(graph: FactorGraph, values: VariableArena,
 # forms that difference: each landmark's observation rows are stacked as
 #
 #     M_q = [ J_q (2K x 3) | J_p blockdiag (2K x 6K) | r (2K x 1) ]
-#           [ prior rows: J_pr | 0 | r_pr                         ]
-#           [ sqrt(lambda) I_3 | 0 | 0      (damping-guard rows)  ]
+#           [ L^T          | 0                       | L^-1 g     ]
 #
-# and ONE thin QR per landmark (vmapped; multifrontal elimination,
-# cf. GTSAM's sequential elimination on Q() landmarks,
-# /root/reference/gtsam/gtsam_graph.cpp:370-448) splits it into the
-# landmark rows R[:3] (kept for back-substitution) and ORTHOGONALLY
-# REDUCED pose rows R[3:, 3:]. The reduced camera Hessian is assembled as
+# where the prior rows and damping-guard rows are pre-merged into ONE
+# 3-row block [L^T | 0 | L^-1 g] (L = closed-form 3x3 Cholesky of
+# sum_p J_p^T J_p + lambda I) — exact in the normal equations, and it
+# keeps the per-landmark stack at 2K+3 rows so only observation rows
+# survive into the reduced assembly. ONE thin QR per landmark (vmapped;
+# multifrontal elimination, cf. GTSAM's sequential elimination on Q()
+# landmarks, /root/reference/gtsam/gtsam_graph.cpp:370-448) splits it
+# into the landmark rows R[:3] (kept for back-substitution) and
+# ORTHOGONALLY REDUCED pose rows R[3:, 3:]. The reduced camera Hessian
+# is assembled as
 # sums of PSD outer products of those already-projected rows — every term
 # of modest magnitude, so the whole step is f32-stable — and the
 # accumulation is one big (C*nred, Dp)^T (C*nred, Dp) matmul per landmark
@@ -213,7 +217,10 @@ def build_point_obs(graph: FactorGraph, point_cap: int):
         qi = np.asarray(pp.idx)
         for f in np.flatnonzero(np.asarray(pp.active)):
             per_pr[int(qi[f])].append(int(f))
-    P = max(1, max((len(p) for p in per_pr), default=1))
+    # P = 0 when no landmark has a prior (prior terms merge into the kept
+    # 3-row block of the QR stack, so P only sizes the per-landmark
+    # H = sum J^T J gather — zero-width is free)
+    P = max((len(p) for p in per_pr), default=0)
     prior_row = np.zeros((point_cap, P), np.int32)
     prior_valid = np.zeros((point_cap, P), bool)
     for q, rows in enumerate(per_pr):
@@ -294,28 +301,48 @@ def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
 
     live = (q_ids < values.num_points).astype(dt)
     Ppr = prior_row.shape[1]
-    if graph.prior_point.idx.shape[0]:
+    # Landmark priors and the damping/dead-landmark guard share the same
+    # row sparsity [A3 | 0 | c], so they MERGE EXACTLY into one 3-row
+    # block: H = sum_p Jp^T Jp + lambda*I (PD), rows [L^T | 0 | L^-1 g]
+    # with L its closed-form 3x3 Cholesky reproduce H and g = sum Jp^T rp
+    # in the normal equations. Separate prior + damp rows cost 3*Ppr + 3
+    # reduced rows of 2K+3*Ppr+3 in EVERY downstream assembly matmul —
+    # 27% of the dominant S-assembly on the every-landmark-priored 100k
+    # stress config (nred 11 -> 8).
+    if graph.prior_point.idx.shape[0] and Ppr:
         rp_all, Jp3_all = F._prior_point_lin(values, graph.prior_point)
         pv = prior_valid.astype(dt)
-        Jpr = (Jp3_all[prior_row]
-               * pv[:, :, None, None]).reshape(Pq, 3 * Ppr, 3)
-        rpr = (rp_all[prior_row] * pv[:, :, None]).reshape(Pq, 3 * Ppr)
+        Jpr = Jp3_all[prior_row] * pv[:, :, None, None]   # (Pq, Ppr, 3, 3)
+        rpr = rp_all[prior_row] * pv[:, :, None]          # (Pq, Ppr, 3)
+        Hp = jnp.einsum("qpij,qpik->qjk", Jpr, Jpr)
+        gp = jnp.einsum("qpij,qpi->qj", Jpr, rpr)
     else:
-        Jpr = jnp.zeros((Pq, 3 * Ppr, 3), dt)
-        rpr = jnp.zeros((Pq, 3 * Ppr), dt)
-    prior_block = jnp.concatenate(
-        [Jpr, jnp.zeros((Pq, 3 * Ppr, nloc), dt), rpr[:, :, None]],
-        axis=-1)
-
-    # damping rows double as the dead-landmark guard (identity -> R3
-    # nonsingular, zero rhs -> zero update)
-    s_damp = jnp.sqrt(damping) * live + (1.0 - live)
-    damp_block = jnp.concatenate(
-        [s_damp[:, None, None] * jnp.eye(3, dtype=dt)[None],
-         jnp.zeros((Pq, 3, nloc + 1), dt)], axis=-1)
+        Hp = jnp.zeros((Pq, 3, 3), dt)
+        gp = jnp.zeros((Pq, 3), dt)
+    lam = damping * live + (1.0 - live)   # dead landmark -> identity guard
+    Hp = Hp + lam[:, None, None] * jnp.eye(3, dtype=dt)
+    # closed-form batched 3x3 Cholesky + forward solve (six fused
+    # elementwise ops; H is PD by construction for damping > 0)
+    tiny = jnp.asarray(1e-30, dt)
+    l11 = jnp.sqrt(jnp.maximum(Hp[:, 0, 0], tiny))
+    l21 = Hp[:, 1, 0] / l11
+    l31 = Hp[:, 2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(Hp[:, 1, 1] - l21 * l21, tiny))
+    l32 = (Hp[:, 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(Hp[:, 2, 2] - l31 * l31 - l32 * l32, tiny))
+    c1p = gp[:, 0] / l11
+    c2p = (gp[:, 1] - l21 * c1p) / l22
+    c3p = (gp[:, 2] - l31 * c1p - l32 * c2p) / l33
+    z = jnp.zeros_like(l11)
+    Lt = jnp.stack([jnp.stack([l11, l21, l31], -1),
+                    jnp.stack([z, l22, l32], -1),
+                    jnp.stack([z, z, l33], -1)], axis=1)  # (Pq, 3, 3) = L^T
+    cpr = jnp.stack([c1p, c2p, c3p], -1)
+    merged_block = jnp.concatenate(
+        [Lt, jnp.zeros((Pq, 3, nloc), dt), cpr[:, :, None]], axis=-1)
 
     M = jnp.concatenate(
-        [jnp.concatenate([Mq, Mp, Mr], axis=-1), prior_block, damp_block],
+        [jnp.concatenate([Mq, Mp, Mr], axis=-1), merged_block],
         axis=1)                                           # (Pq, m, 3+nloc+1)
 
     Rq = _eliminate3(M)
@@ -331,34 +358,47 @@ def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
     C = min(chunk, Pq)
     n_chunks = -(-Pq // C)
     pad = n_chunks * C - Pq
+    pidx_g = graph.projection.pose_idx[obs_idx]           # (Pq, K)
     if pad:
         red_pose_c = jnp.pad(red_pose, ((0, pad), (0, 0), (0, 0)))
         red_rhs_c = jnp.pad(red_rhs, ((0, pad), (0, 0)))
-        cp_c = jnp.pad(cp_flat, ((0, pad), (0, 0)))
+        pidx_c = jnp.pad(pidx_g, ((0, pad), (0, 0)))
     else:
-        red_pose_c, red_rhs_c, cp_c = red_pose, red_rhs, cp_flat
+        red_pose_c, red_rhs_c, pidx_c = red_pose, red_rhs, pidx_g
 
     prec = assembly_precision
+    Pcap = lay.pose_cap
 
-    def chunk_S(pp, rr, cols):
-        # local->global column mapping as a one-hot MATMUL, not a scatter
-        # (TPU scatters serialize; this is an MXU op). Duplicate pose
-        # columns within one landmark still SUM through the one-hot.
+    def chunk_S(pp, rr, pidx):
+        # local->global column relocation as a one-hot MATMUL, not a
+        # scatter (TPU scatters serialize; this is an MXU op). Duplicate
+        # pose columns within one landmark still SUM through the one-hot;
+        # invalid observation slots carry all-zero columns through the
+        # QR, so their relocation target (row 0's pose) contributes
+        # nothing. Projection rows only ever touch pose columns, so the
+        # accumulation runs on the (C*nred, 6*pose_cap) pose section
+        # only. A "block" variant contracting over the K pose slots
+        # ((C, K, pose_cap) one-hot, 36x smaller) was raced same-process
+        # and LOST 2x (266 vs 539 ms/iter on the 100k config, 2026-08-20):
+        # its K=4 contraction pads the MXU 32-fold, while this (nloc=6K)-
+        # contraction batched matmul lowers cleanly.
+        cols = (pidx[:, :, None] * 6
+                + jnp.arange(6)[None, None, :]).reshape(C, nloc)
         onehot = (cols[:, :, None]
-                  == jnp.arange(Dp)[None, None, :]).astype(dt)
+                  == jnp.arange(6 * Pcap)[None, None, :]).astype(dt)
         dense = jnp.einsum("crk,ckd->crd", pp, onehot, precision=prec)
-        d2 = dense.reshape(C * nred, Dp)
+        d2 = dense.reshape(C * nred, 6 * Pcap)
         return (jnp.matmul(d2.T, d2, precision=prec),
                 jnp.matmul(d2.T, rr.reshape(-1), precision=prec))
 
     pose_ch = red_pose_c.reshape(n_chunks, C, nred, nloc)
     rhs_ch = red_rhs_c.reshape(n_chunks, C, nred)
-    cp_ch = cp_c.reshape(n_chunks, C, nloc)
+    pidx_ch = pidx_c.reshape(n_chunks, C, K)
     # the scan carry is SEEDED with chunk 0 (not zeros): under shard_map
     # a replicated zeros init would not be varying over the mesh axis
     # while the accumulated shard data is, and lax.scan rejects the
     # carry-type mismatch
-    S, g = chunk_S(pose_ch[0], rhs_ch[0], cp_ch[0])
+    S, g = chunk_S(pose_ch[0], rhs_ch[0], pidx_ch[0])
     if n_chunks > 1:
         def chunk_body(carry, inp):
             Sc, gc = carry
@@ -367,7 +407,13 @@ def _landmark_qr_reduce(graph: FactorGraph, values: VariableArena, lay,
 
         (S, g), _ = jax.lax.scan(
             chunk_body, (S, g),
-            (pose_ch[1:], rhs_ch[1:], cp_ch[1:]))
+            (pose_ch[1:], rhs_ch[1:], pidx_ch[1:]))
+    if 6 * Pcap != Dp:
+        # BA+IMU/plane graphs: embed the pose-section partial into the
+        # full non-point tangent (vel/bias/plane columns are untouched by
+        # projection factors)
+        S = jnp.zeros((Dp, Dp), S.dtype).at[:6 * Pcap, :6 * Pcap].set(S)
+        g = jnp.zeros((Dp,), g.dtype).at[:6 * Pcap].set(g)
     return (S, g), (R3, E, c1, cp_flat, live)
 
 
