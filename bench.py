@@ -1101,9 +1101,13 @@ def main():
             "ba_sqrt": 700, "ba_sqrt_100k": 700, "chordal": 600,
             "banded_direct": 600, "amortized": 600, "multigraph": 600,
             "ba_sqrt_100k_bf16x3": 600}
-    names = ["vio_planes_2k", "ba_sqrt_100k"]
+    # bf16x3 precedes the exact config: it is the best-MFU number AND the
+    # cheapest to capture (one compile; the exact config's XLA cross-check
+    # adds two more remote compiles, which is what breaches its cap on
+    # congested-tunnel days) — a budget squeeze then still ships an MFU
+    names = ["vio_planes_2k", "ba_sqrt_100k_bf16x3", "ba_sqrt_100k"]
     if fast_day:
-        names += ["ba_sqrt_100k_bf16x3", "multigraph", "chordal"]
+        names += ["multigraph", "chordal"]
     # a secondary that failed to converge must never claim the best-MFU
     # slot (its timing is real but its answer is not)
     def _mfu_ok(sec):
